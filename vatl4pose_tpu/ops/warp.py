@@ -1,0 +1,98 @@
+"""Device-side affine crop + normalization — the TPU-native replacement for
+the reference's CPU preprocessing (cv2.warpAffine in DataLoader workers,
+simple_transform.py:81-98,228-249).
+
+Whole batches of person crops are produced on-device from full frames with
+one fused gather/elementwise XLA program: bilinear sampling with constant-0
+border (cv2.INTER_LINEAR + BORDER_CONSTANT semantics, up to cv2's 5-bit
+fixed-point coefficient quantization) followed by the /255 + RGB mean
+subtraction of im_to_torch (simple_transform.py:93-97).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .affine import box_to_center_scale, center_scale_to_box, get_affine_transform
+
+__all__ = ["warp_affine_bilinear", "crop_batch", "RGB_MEAN"]
+
+# Channel means subtracted after /255 (simple_transform.py:94-96), RGB order.
+RGB_MEAN = np.array([0.406, 0.457, 0.480], dtype=np.float32)
+
+
+def warp_affine_bilinear(image, inv_mat, out_size):
+    """Bilinear warp of one HxWxC image. `inv_mat` maps dst -> src (2x3).
+
+    out_size: (out_h, out_w) static.  Out-of-bounds samples read 0
+    (BORDER_CONSTANT).  cv2.warpAffine takes the forward (src->dst) matrix
+    and inverts it internally; callers here pass the inverse directly
+    (get_affine_transform(..., inv=True)).
+    """
+    image = jnp.asarray(image)
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    H, W = image.shape[0], image.shape[1]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)              # (out_h, out_w)
+    sx = inv_mat[0, 0] * gx + inv_mat[0, 1] * gy + inv_mat[0, 2]
+    sy = inv_mat[1, 0] * gx + inv_mat[1, 1] * gy + inv_mat[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def sample(yy, xx):
+        inb = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
+        xxc = jnp.clip(xx, 0, W - 1)
+        yyc = jnp.clip(yy, 0, H - 1)
+        v = image[yyc, xxc]                    # (out_h, out_w, C)
+        return v * inb[..., None].astype(image.dtype)
+
+    v00 = sample(y0i, x0i)
+    v01 = sample(y0i, x0i + 1)
+    v10 = sample(y0i + 1, x0i)
+    v11 = sample(y0i + 1, x0i + 1)
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    return out
+
+
+def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
+               normalize: bool = True):
+    """Produce normalized person crops for a batch of boxes on-device.
+
+    frames: (F, H, W, 3) float32 in [0, 255] (decoded full frames, RGB).
+    frame_idx: (N,) int — which frame each box crops from.
+    bboxes_xyxy: (N, 4) raw person boxes.
+    input_size: (inp_h, inp_w) static, e.g. (256, 192).
+
+    Returns (crops (N, inp_h, inp_w, 3) float32 NHWC, bbox_crop (N, 4) xyxy —
+    the aspect-corrected 1.25-padded crop box, i.e. the `bbox_crop` the
+    reference's test_transform returns for decode back-projection).
+    """
+    inp_h, inp_w = int(input_size[0]), int(input_size[1])
+    if aspect_ratio is None:
+        aspect_ratio = float(inp_w) / float(inp_h)
+    bb = jnp.asarray(bboxes_xyxy, jnp.float32)
+    center, scale = box_to_center_scale(
+        bb[:, 0], bb[:, 1], bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1],
+        aspect_ratio)
+    inv_mats = get_affine_transform(center, scale, 0.0, (inp_w, inp_h), inv=True)
+    bbox_crop = center_scale_to_box(center, scale)
+
+    def one(fi, m):
+        return warp_affine_bilinear(frames[fi], m, (inp_h, inp_w))
+
+    crops = jax.vmap(one)(jnp.asarray(frame_idx), inv_mats)
+    if normalize:
+        crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
+    return crops, bbox_crop
