@@ -1,0 +1,104 @@
+"""End-to-end AL loop on a synthetic video (CPU, tiny model)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from vatl4pose_tpu.data.synthetic import make_synthetic_video
+    root = str(tmp_path_factory.mktemp("synth"))
+    root, ann = make_synthetic_video(root, num_frames=5, num_persons=2,
+                                     width=160, height=128)
+    return root, ann
+
+
+def _cfg(root, ann):
+    from vatl4pose_tpu.config import Cfg
+    return Cfg({
+        "DATASET": {
+            "TRAIN": {"TYPE": "Posetrack21", "ROOT": root, "ANN": ann,
+                      "IMG_PREFIX": "",
+                      "AUG": {"FLIP": False, "ROT_FACTOR": 40,
+                              "SCALE_FACTOR": 0.3,
+                              "NUM_JOINTS_HALF_BODY": 8,
+                              "PROB_HALF_BODY": -1}},
+            "EVAL": {"TYPE": "Posetrack21", "ROOT": root, "ANN": ann,
+                     "IMG_PREFIX": ""},
+        },
+        "DATA_PRESET": {"TYPE": "simple", "SIGMA": 2, "NUM_JOINTS": 17,
+                        "IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16]},
+        "MODEL": {"TYPE": "SimplePose", "PRETRAINED": "", "TRY_LOAD": "",
+                  "NUM_DECONV_FILTERS": [64, 64, 64], "NUM_LAYERS": 18},
+        "LOSS": {"TYPE": "MSELoss"},
+        "AE": {"Z_DIM": 4, "PRETRAINED_ROOT": "", "EPOCH": 1, "LR": 8e-5},
+        "AUXNET": {"PRETRAINED_ROOT": "", "EPOCH": 1, "LR": 8e-5},
+        "RETRAIN": {"BATCH_SIZE": 8, "BASE": 1, "OPTIMIZER": "AdamW",
+                    "LR": 2.5e-4, "ALPHA": 1, "WEIGHT_DECAY": 0.7,
+                    "LR_GAMMA": 0.99},
+        "VAL": {"FINISH_ACC": 1, "BATCH_SIZE": 16, "W_UNC": 0.01,
+                "UNC_LAMBDA": 0.01, "QUERY_RATIO": [0.5, 1.0],
+                "VIS": False},
+    })
+
+
+class Opt:
+    def __init__(self, work_dir, **kw):
+        self.uncertainty = kw.get("uncertainty", "THC_L1")
+        self.representativeness = kw.get("representativeness", "None")
+        self.filter = kw.get("filter", "None")
+        self.strategy = kw.get("strategy", self.uncertainty)
+        self.video_id = "000001"
+        self.work_dir = work_dir
+        self.seed = 166
+        self.retrain_thresh = 1.0
+        self.continual = kw.get("continual", False)
+        self.onebyone = False
+        self.from_scratch = True
+        self.THCvsWPU = "const"
+        self.fixed_lambda = False
+        self.optimize = False
+
+
+def run_loop(cfg, opt):
+    from vatl4pose_tpu.al.active_learning import ActiveLearning
+    al = ActiveLearning(cfg, opt)
+    while True:
+        al.eval_and_query()
+        result = al.outcome()
+        if result is not None:
+            return al, result
+
+
+class TestEndToEnd:
+    def test_thc_coreset_full_loop(self, synth, tmp_path):
+        root, ann = synth
+        cfg = _cfg(root, ann)
+        opt = Opt(str(tmp_path), uncertainty="THC_L1", filter="Coreset",
+                  representativeness="None", strategy="THC_L1_Coresetfilter")
+        al, result = run_loop(cfg, opt)
+        n = al.eval_len
+        # every sample labeled exactly once, queries disjoint
+        all_q = [q for r in result[3].values() for q in r]
+        assert sorted(all_q) == list(range(n))
+        # curves have one entry per round incl. final
+        assert len(result[0]) == len(result[1]) == len(result[17])
+        # with GT substituted everywhere, final ann-mAP is 1
+        assert abs(result[2][-1]["AP"] - 1.0) < 1e-6
+        assert result[18][-1] < 1e-6        # final OSPA_ann
+
+    def test_thc_wpu_influence_weighted(self, synth, tmp_path):
+        root, ann = synth
+        cfg = _cfg(root, ann)
+        opt = Opt(str(tmp_path), uncertainty="THC+WPU",
+                  representativeness="Influence", filter="weighted",
+                  strategy="THC+WPU+Influence_weightedfilter")
+        al, result = run_loop(cfg, opt)
+        all_q = [q for r in result[3].values() for q in r]
+        assert sorted(all_q) == list(range(al.eval_len))
+        # uncertainty dict holds [thc, wpu] pairs
+        r0 = result[4]["Round0"]
+        assert len(next(iter(r0.values()))) == 2

@@ -1,0 +1,150 @@
+"""Whole-video scoring engine: one batched device pass per AL round.
+
+Replaces the reference's hot loop (ActiveLearning.py:273-429 — three forward
+passes per batch plus a serial per-person Python loop of decode/OKS/
+uncertainty) with:
+
+  stage 1 (chunked, jitted): device crop → model forward → heatmaps (+2048-d
+          embedding from the same backbone pass);
+  stage 2 (whole video, jitted): batched decode, OKS, THC/TPC via shifted
+          gathers (numerically identical to the reference's extra neighbor
+          forwards — see ops/temporal.py), WPU hybrid+AE, HP/MPE/Margin/
+          Entropy, local-peak combine weights.
+
+Every sample's heatmap is computed exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import bucket_size, pad_to
+from ..ops import (bbox_xyxy_to_xywh, compute_entropy, compute_hybrid,
+                   compute_margin, compute_mpe, compute_oks, crop_batch,
+                   heatmap_to_coord, localpeak_mean, thc_scores, tpc_scores)
+
+UNC_NONE = "None"
+
+
+@dataclasses.dataclass
+class ScoringConfig:
+    uncertainty: str = "THC+WPU"        # HP/TPC/THC_L1/THC_L2/THC+WPU/WPU/...
+    need_embedding: bool = True
+    input_size: Tuple[int, int] = (256, 192)
+    eval_joints: Tuple[int, ...] = tuple(range(17))
+    hybrid_drop_ears: bool = True
+
+
+class ScoringEngine:
+    """Compiles and runs the two-stage scoring pipeline for one model."""
+
+    def __init__(self, model, cfg: ScoringConfig, ae_model=None,
+                 chunk: int = 256):
+        self.model = model
+        self.cfg = cfg
+        self.ae_model = ae_model
+        self.chunk = chunk
+        self._fwd = jax.jit(self._forward_chunk)
+        self._score = jax.jit(self._score_video)
+
+    # ---- stage 1: heatmaps + embeddings ----------------------------------
+    def _forward_chunk(self, variables, frames, frame_idx, bboxes):
+        crops, bbox_crop = crop_batch(frames.astype(jnp.float32), frame_idx,
+                                      bboxes, self.cfg.input_size)
+        if self.cfg.need_embedding:
+            hm, emb = self.model.apply(variables, crops,
+                                       return_embedding=True)
+        else:
+            hm = self.model.apply(variables, crops)
+            emb = jnp.zeros((crops.shape[0], 1), jnp.float32)
+        # NHWC -> NKHW
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return hm, emb, bbox_crop
+
+    def forward_video(self, variables, frames_dev, frame_idx, bboxes):
+        """Chunked forward over all N samples. Returns np-backed device arrays
+        (N, K, h, w), (N, E), (N, 4)."""
+        n = bboxes.shape[0]
+        hms, embs, crops_bb = [], [], []
+        for s in range(0, n, self.chunk):
+            e = min(s + self.chunk, n)
+            fi = pad_to(np.asarray(frame_idx[s:e]), self.chunk)
+            bb = pad_to(np.asarray(bboxes[s:e]), self.chunk)
+            hm, emb, bc = self._fwd(variables, frames_dev, fi, bb)
+            hms.append(hm[: e - s])
+            embs.append(emb[: e - s])
+            crops_bb.append(bc[: e - s])
+        return (jnp.concatenate(hms), jnp.concatenate(embs),
+                jnp.concatenate(crops_bb))
+
+    # ---- stage 2: decode + all criteria ----------------------------------
+    def _score_video(self, hms, bbox_crop, gt_kpts, bbox_ann_xywh,
+                     is_prev, is_next, ae_variables):
+        cfg = self.cfg
+        ej = np.asarray(cfg.eval_joints)
+        pred = hms[:, ej]
+        coords, scores = heatmap_to_coord(pred, bbox_crop)
+        kpts = jnp.concatenate([coords, scores[..., None]], axis=-1)
+        kpts_flat = kpts.reshape(kpts.shape[0], -1)
+        oks = compute_oks(kpts_flat, gt_kpts, bbox_ann_xywh)
+        det_score = jnp.mean(scores, axis=-1) + 1.25 * jnp.max(scores, axis=-1)
+
+        unc = jnp.zeros(hms.shape[0], jnp.float32)
+        unc2 = jnp.zeros(hms.shape[0], jnp.float32)
+        u = cfg.uncertainty
+        if u == "HP":
+            unc = -jnp.sum(scores, axis=-1)
+        elif u == "TPC":
+            unc = tpc_scores(pred, coords, bbox_crop, is_prev, is_next)
+        elif "THC" in u:
+            norm = "L2" if "L2" in u else "L1"
+            unc = thc_scores(pred, is_prev, is_next, norm_type=norm)
+            if "WPU" in u:
+                unc2 = self._wpu(ae_variables, bbox_crop, kpts_flat)
+        elif "WPU" in u:
+            unc = self._wpu(ae_variables, bbox_crop, kpts_flat)
+        elif u == "MPE":
+            unc = compute_mpe(pred)
+        elif u == "Entropy":
+            unc = compute_entropy(pred)
+        elif u == "Margin":
+            unc = compute_margin(pred)
+        elif u != UNC_NONE:
+            raise ValueError(f"Uncertainty type {u} is not supported")
+
+        gc = localpeak_mean(pred)
+        return {"coords": coords, "scores": scores, "kpts": kpts_flat,
+                "oks": oks, "det_score": det_score, "unc": unc, "unc2": unc2,
+                "gc": gc}
+
+    def _wpu(self, ae_variables, bbox_crop, kpts_flat):
+        """WPU = MSE reconstruction error of the hybrid feature
+        (ActiveLearning.py:364-386, 38-d convention)."""
+        feat = compute_hybrid(bbox_xyxy_to_xywh(bbox_crop), kpts_flat,
+                              drop_ears=self.cfg.hybrid_drop_ears)
+        recon = self.ae_model.apply(ae_variables, feat)
+        return jnp.mean(jnp.square(recon - feat), axis=-1)
+
+    # ---- public API -------------------------------------------------------
+    def score(self, variables, frames_dev, frame_idx, bboxes, gt_kpts,
+              bbox_ann_xywh, is_prev, is_next,
+              ae_variables=None) -> Dict[str, np.ndarray]:
+        hms, embs, bbox_crop = self.forward_video(variables, frames_dev,
+                                                  frame_idx, bboxes)
+        out = self._score(hms, bbox_crop, jnp.asarray(gt_kpts),
+                          jnp.asarray(bbox_ann_xywh),
+                          jnp.asarray(is_prev), jnp.asarray(is_next),
+                          ae_variables if ae_variables is not None
+                          else {"params": {}})
+        res = {k: np.asarray(v) for k, v in out.items()}
+        res["embeddings"] = np.asarray(embs)
+        res["bbox_crop"] = np.asarray(bbox_crop)
+        res["heatmaps"] = hms  # device array; host-fetch only if needed
+        return res

@@ -1,0 +1,220 @@
+"""Query selection: influence, candidate ranking, filters, coreset.
+
+Parity targets (reference ActiveLearning.py):
+  - influence (:467-484): cosine-distance row sums over unlabeled embeddings
+    (KNeighborsTransformer with n_neighbors=N-1 == full row sums since the
+    self-distance is 0), min-max normalized.
+  - score combination (:486-519): min-max normalized uncertainty, THC+WPU
+    fusion with const/increase/decrease scheduling, combine-weight mix.
+  - candidate ranking (:529-541): stable descending sort of (idx, score)
+    (Python sorted is stable → ties keep unlabeled-id order).
+  - filters (:553-619): weighted K-Means, K-Means, Diversity, Random,
+    Coreset (k-center greedy with uncertainty-biased argmax :798-850).
+
+Ranking/bookkeeping run on host in float64 numpy (tiny data, exact-parity
+semantics); the O(N²) embedding distance work runs on device (MXU matmuls).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "cosine_distance_rowsums", "influence_scores", "minmax", "fuse_thc_wpu",
+    "total_scores", "rank_candidates", "kmeans_filter", "diversity_filter",
+    "random_filter", "coreset_selection",
+]
+
+
+def minmax(x: np.ndarray) -> np.ndarray:
+    """(x - min) / (max - min) — the reference's normalization; NaN/inf on
+    constant input is inherited behavior (guarded by callers for N<=1)."""
+    return (x - np.min(x)) / (np.max(x) - np.min(x))
+
+
+@jax.jit
+def _pairwise_cosine_dist(x):
+    """1 - cos similarity, on device (one matmul on the MXU)."""
+    norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / jnp.maximum(norm, 1e-12)
+    return 1.0 - xn @ xn.T
+
+
+def cosine_distance_rowsums(embeddings: np.ndarray) -> np.ndarray:
+    d = np.array(_pairwise_cosine_dist(jnp.asarray(embeddings, jnp.float32)))
+    np.fill_diagonal(d, 0.0)
+    return d.sum(axis=1)
+
+
+def influence_scores(embeddings_unlabeled: np.ndarray) -> np.ndarray:
+    """ActiveLearning.py:470-478."""
+    return minmax(cosine_distance_rowsums(embeddings_unlabeled))
+
+
+def fuse_thc_wpu(thc: np.ndarray, wpu: np.ndarray, labeled_ratio: float,
+                 mode: str = "const") -> np.ndarray:
+    """THC+WPU fusion (:494-510): per-criterion min-max, scheduled mix,
+    re-normalized."""
+    t = minmax(np.asarray(thc, np.float64))
+    w = minmax(np.asarray(wpu, np.float64))
+    if mode == "const":
+        u = t + w
+    elif mode == "increase":
+        u = labeled_ratio * t + (1 - labeled_ratio) * w
+    elif mode == "decrease":
+        u = (1 - labeled_ratio) * t + labeled_ratio * w
+    else:
+        raise ValueError(mode)
+    return minmax(u)
+
+
+def total_scores(uncertainty: Optional[np.ndarray],
+                 influence: Optional[np.ndarray],
+                 combine_weight: float) -> np.ndarray:
+    """Combine normalized uncertainty and influence (:486-519).
+    `uncertainty` here is already min-max normalized (or fused)."""
+    if uncertainty is None and influence is None:
+        raise ValueError("no scores")
+    if uncertainty is None:
+        return np.asarray(influence, np.float64)
+    if influence is None:
+        return np.asarray(uncertainty, np.float64)
+    return combine_weight * uncertainty + (1 - combine_weight) * influence
+
+
+def rank_candidates(unlabeled_ids: Sequence[int], scores: np.ndarray,
+                    top_k: Optional[int] = None) -> List[int]:
+    """Stable descending sort by score, then ascending-id sort of the kept
+    slice (:529-541: sorted(...)[:k] then sorted(keys))."""
+    ids = list(unlabeled_ids)
+    order = np.argsort(-np.asarray(scores, np.float64), kind="stable")
+    ranked = [ids[i] for i in order]
+    if top_k is not None:
+        ranked = ranked[:top_k]
+    return sorted(ranked)
+
+
+def kmeans_filter(embeddings: np.ndarray, candidate_list: List[int],
+                  query_size: int, weight: Optional[np.ndarray] = None,
+                  dedupe: bool = False, random_state: int = 318) -> List[int]:
+    """K-Means / weighted K-Means filters (:553-580, :593-611): cluster the
+    candidates (sklearn, seed 318), pick the closest-to-centroid member of
+    each cluster.  With `weight`, samples are K-Means-weighted (weighted
+    filter also dedupes identical embeddings first)."""
+    from sklearn.cluster import KMeans
+    emb = embeddings[candidate_list]
+    w = weight
+    if dedupe:
+        _, keep = np.unique(emb, axis=0, return_index=True)
+        emb = emb[keep]
+        if w is not None:
+            w = w[keep]
+    else:
+        keep = np.arange(len(emb))
+    k = min(query_size, len(emb))
+    km = KMeans(n_clusters=k, random_state=random_state, verbose=0)
+    cluster_idx = km.fit_predict(emb, sample_weight=w)
+    centers = km.cluster_centers_[cluster_idx]
+    dis = ((emb - centers) ** 2).sum(axis=1)
+    picked = []
+    for c in range(len(np.unique(cluster_idx))):
+        members = np.arange(emb.shape[0])[cluster_idx == c]
+        picked.append(members[dis[cluster_idx == c].argmin()])
+    if dedupe:
+        picked = [int(keep[p]) for p in picked]
+    return [int(candidate_list[p]) for p in picked]
+
+
+def diversity_filter(embeddings: np.ndarray, candidate_list: List[int],
+                     query_size: int) -> List[int]:
+    """Diversity filter (:583-592): ascending cosine row-sum pick."""
+    div = cosine_distance_rowsums(embeddings[candidate_list])
+    pairs = sorted(zip(candidate_list, div), key=lambda x: x[1])
+    return [int(i) for i, _ in pairs[:query_size]]
+
+
+def random_filter(candidate_list: List[int], query_size: int,
+                  rng: np.random.RandomState) -> List[int]:
+    """random_query (:727-734): draw without replacement via np.random.choice
+    loop (uses the global-np-random-equivalent RNG handed in)."""
+    cands = list(candidate_list)
+    out = []
+    while len(out) < query_size and cands:
+        q = int(rng.choice(cands))
+        out.append(q)
+        cands.remove(q)
+    return out
+
+
+def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
+                      labeled_idx: Sequence[int], query_size: int,
+                      unc_lambda: float, moks_queried: float,
+                      mode: str = "dynamic",
+                      rng: Optional[np.random.RandomState] = None
+                      ) -> List[int]:
+    """k-center greedy with uncertainty-biased argmax (:798-850), run on
+    device with a lax.fori_loop over min-distance updates.
+
+    mode: 'dynamic'  → argmax((1-mOKS)·min_dist + λ·mOKS·unc)
+          'fixed'    → argmax(min_dist + λ·unc)
+          'plain'    → argmax(min_dist)  (uncertainty None or λ == 0)
+    First pick (no labeled data): argmax(unc) (dynamic/fixed) or uniform
+    random (plain).  Selected items get uncertainty zeroed (:846).
+    """
+    emb = jnp.asarray(embeddings, jnp.float32)
+    unc0 = jnp.asarray(uncertainty, jnp.float32)
+    n = emb.shape[0]
+
+    sq = jnp.sum(emb * emb, axis=1)
+
+    if len(labeled_idx) > 0:
+        li = jnp.asarray(np.asarray(labeled_idx, np.int32))
+        d2 = sq[:, None] + sq[li][None, :] - 2.0 * (emb @ emb[li].T)
+        init_min = jnp.min(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
+        have_labeled = True
+    else:
+        init_min = jnp.full((n,), jnp.inf, jnp.float32)
+        have_labeled = False
+
+    if mode == "dynamic":
+        def score(md, unc):
+            return (1.0 - moks_queried) * md + unc_lambda * moks_queried * unc
+    elif mode == "fixed":
+        def score(md, unc):
+            return md + unc_lambda * unc
+    else:
+        def score(md, unc):
+            return md
+
+    first_random = (mode == "plain") and not have_labeled
+    first_idx = None
+    if first_random:
+        rng = rng or np.random.RandomState()
+        first_idx = int(rng.choice(np.arange(n)))
+
+    def body(i, state):
+        min_d, unc, picks = state
+        # first pick with no labeled centers: argmax(unc) (or a preselected
+        # random index for 'plain' mode)
+        no_centers = jnp.isinf(min_d).all()
+        ind_unc = jnp.argmax(unc)
+        ind_score = jnp.argmax(score(min_d, unc))
+        ind = jnp.where(no_centers,
+                        first_idx if first_idx is not None else ind_unc,
+                        ind_score)
+        # exact per-center distances (avoids the a²+b²-2ab cancellation)
+        dn = jnp.sqrt(jnp.sum(jnp.square(emb - emb[ind]), axis=1))
+        min_d = jnp.minimum(min_d, dn)
+        unc = unc.at[ind].set(0.0)
+        picks = picks.at[i].set(ind)
+        return (min_d, unc, picks)
+
+    picks0 = jnp.zeros((query_size,), jnp.int32)
+    _, _, picks = jax.lax.fori_loop(0, query_size, body,
+                                    (init_min, unc0, picks0))
+    return [int(p) for p in np.asarray(picks)]

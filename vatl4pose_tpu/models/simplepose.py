@@ -25,11 +25,11 @@ class SimplePose(nn.Module):
     def setup(self):
         self.preact = ResNet(depth=self.num_layers, train=self.train)
         self.deconv1 = TorchConvTranspose(self.deconv_dim[0])
-        self.bn_d1 = torch_batchnorm("bn_d1", not self.train)
+        self.bn_d1 = torch_batchnorm(None, not self.train)
         self.deconv2 = TorchConvTranspose(self.deconv_dim[1])
-        self.bn_d2 = torch_batchnorm("bn_d2", not self.train)
+        self.bn_d2 = torch_batchnorm(None, not self.train)
         self.deconv3 = TorchConvTranspose(self.deconv_dim[2])
-        self.bn_d3 = torch_batchnorm("bn_d3", not self.train)
+        self.bn_d3 = torch_batchnorm(None, not self.train)
         self.final_layer = nn.Conv(self.num_joints, (1, 1),
                                    kernel_init=nn.initializers.normal(0.001))
 

@@ -1,0 +1,166 @@
+"""Fine-tuning / training loops (estimator + WPU autoencoder).
+
+Parity: ActiveLearning.py:651-686 (retrain_model — AdamW per-layer LR
+groups, 0.5x masked MSE, ExponentialLR stepped per epoch, shuffled batches)
+and :905-925 (retrain_AE).  The reference's DataLoader-worker preprocessing
+becomes host-side geometry + device warp/target generation; the whole train
+step (crop → forward → loss → backward → optimizer) is one jitted program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import AugCfg, pad_to, train_sample_geometry
+from ..models.criterion import masked_heatmap_loss
+from ..ops.heatmap import gaussian_target
+from ..ops.warp import RGB_MEAN, warp_affine_bilinear
+from ..utils.metrics import DataLogger, calc_accuracy
+from .optim import OptState, build_optimizer, init_state, lr_multiplier_tree
+
+
+class Retrainer:
+    """Estimator fine-tuner over a (sub)set of video samples."""
+
+    def __init__(self, model_train, retrain_cfg, model_type: str,
+                 input_size=(256, 192), hm_size=(64, 48), sigma=2.0,
+                 aug: Optional[AugCfg] = None, joint_pairs=None,
+                 seed: int = 166):
+        self.model = model_train
+        self.cfg = retrain_cfg
+        self.input_size = tuple(input_size)
+        self.hm_size = tuple(hm_size)
+        self.sigma = float(sigma)
+        self.aug = aug or AugCfg()
+        self.joint_pairs = joint_pairs or []
+        self.update_fn, self.group_of = build_optimizer(retrain_cfg,
+                                                        model_type)
+        self.base_lr = retrain_cfg["LR"]
+        self.gamma = retrain_cfg.get("LR_GAMMA", 1.0)
+        self.batch_size = retrain_cfg["BATCH_SIZE"]
+        self.epoch_counter = 0  # survives rounds in continual mode
+        self.rng = np.random.default_rng(seed)
+        self._step = jax.jit(self._train_step)
+
+    def reset_schedule(self):
+        self.epoch_counter = 0
+
+    def init_opt_state(self, params):
+        return init_state(params)
+
+    # ---- jitted step ------------------------------------------------------
+    def _train_step(self, variables, opt_state, frames, frame_idx, inv_mats,
+                    joints, vis, valid, lr):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+        inp_h, inp_w = self.input_size
+
+        def crop_one(fi, m):
+            img = warp_affine_bilinear(frames[fi].astype(jnp.float32), m,
+                                       (inp_h, inp_w))
+            return img / 255.0 - jnp.asarray(RGB_MEAN)
+
+        crops = jax.vmap(crop_one)(frame_idx, inv_mats)
+        target, tw = gaussian_target(joints, vis, self.hm_size, self.sigma)
+        mask = tw[:, None, None, :]  # NHWC mask on the K axis
+
+        def loss_fn(p):
+            out, new_state = self.model.apply(
+                {"params": p, **rest}, crops, mutable=["batch_stats"])
+            # NHWC; loss masked on joint channel, mean over valid rows
+            l = masked_heatmap_loss(out, jnp.transpose(target, (0, 2, 3, 1)),
+                                    mask, valid=valid)
+            return l, (new_state, out)
+
+        (loss, (new_state, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        lr_mults = lr_multiplier_tree(params, self.group_of)
+        new_params, opt_state = self.update_fn(params, grads, opt_state, lr,
+                                               lr_mults)
+        new_vars = {"params": new_params, **new_state}
+        out_nkhw = jnp.transpose(out, (0, 3, 1, 2))
+        return new_vars, opt_state, loss, out_nkhw, target * tw[:, :, None, None]
+
+    # ---- epoch loop -------------------------------------------------------
+    def retrain(self, variables, opt_state, data, frames_dev, indices,
+                num_epochs: int, img_wh, log=None):
+        """Run `num_epochs` over the samples `indices` of `data`
+        (VideoPoseData).  Returns (variables, opt_state)."""
+        indices = np.asarray(indices, np.int64)
+        bs = self.batch_size
+        loss_logger, acc_logger = DataLogger(), DataLogger()
+        for _ in range(num_epochs):
+            lr = self.base_lr * (self.gamma ** self.epoch_counter)
+            order = self.rng.permutation(len(indices))
+            for s in range(0, len(order), bs):
+                sel = indices[order[s:s + bs]]
+                n = len(sel)
+                inv_mats, flips, joints, vis = train_sample_geometry(
+                    data.bboxes[sel], data.joints_xy[sel],
+                    data.joints_vis[sel], img_wh, self.input_size, self.aug,
+                    self.joint_pairs, self.rng)
+                valid = np.zeros(bs, bool)
+                valid[:n] = True
+                variables, opt_state, loss, out, tgt = self._step(
+                    variables, opt_state, frames_dev,
+                    jnp.asarray(pad_to(data.frame_idx[sel], bs)),
+                    jnp.asarray(pad_to(inv_mats, bs)),
+                    jnp.asarray(pad_to(joints, bs)),
+                    jnp.asarray(pad_to(vis, bs)),
+                    jnp.asarray(valid), jnp.asarray(lr, jnp.float32))
+                loss_logger.update(float(loss), n)
+                acc_logger.update(calc_accuracy(out[:n], tgt[:n]), n)
+            self.epoch_counter += 1  # scheduler.step()
+        if log:
+            log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
+        return variables, opt_state, loss_logger.avg, acc_logger.avg
+
+
+class AETrainer:
+    """WPU autoencoder fine-tuning (ActiveLearning.py:905-925): Adam,
+    MSE, fixed epochs, batch 10."""
+
+    def __init__(self, ae_model, lr: float, epochs: int, batch_size: int = 10,
+                 seed: int = 318):
+        from .optim import make_adam
+        self.model = ae_model
+        self.lr = lr
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.update_fn = make_adam()
+        self._step = jax.jit(self._train_step)
+
+    def _train_step(self, variables, opt_state, feats, valid, lr):
+        def loss_fn(p):
+            out = self.model.apply({"params": p}, feats)
+            sq = jnp.mean(jnp.square(out - feats), axis=-1)
+            return jnp.sum(sq * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        new_params, opt_state = self.update_fn(variables["params"], grads,
+                                               opt_state, lr)
+        return {"params": new_params}, opt_state, loss
+
+    def train(self, variables, features: np.ndarray):
+        opt_state = init_state(variables["params"])
+        n = len(features)
+        bs = self.batch_size
+        for _ in range(self.epochs):
+            order = self.rng.permutation(n)
+            for s in range(0, n, bs):
+                sel = order[s:s + bs]
+                feats = pad_to(features[sel], bs)
+                valid = np.zeros(bs, np.float32)
+                valid[:len(sel)] = 1.0
+                variables, opt_state, _ = self._step(
+                    variables, opt_state, jnp.asarray(feats),
+                    jnp.asarray(valid), jnp.asarray(self.lr, jnp.float32))
+        return variables
