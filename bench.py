@@ -24,7 +24,7 @@ import numpy as np
 
 REF_A100_SAMPLES_PER_S = 700.0
 
-BATCH = 256
+BATCH = 128
 STEPS = 8
 
 
@@ -38,7 +38,11 @@ def main():
     model = SimplePose(num_joints=17, num_layers=50, train=False)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), x[:1].astype(jnp.float32))
+    # weight *values* don't matter for throughput; build zeros from shapes
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 192, 3), jnp.float32)))
+    variables = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), shapes)
     bbox = jnp.asarray(
         np.tile([[10.0, 20.0, 106.0, 148.0]], (BATCH, 1)), jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 200, (BATCH, 51)), jnp.float32)

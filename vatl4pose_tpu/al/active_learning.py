@@ -138,6 +138,19 @@ class ActiveLearning:
             self.ae_vars = jax.tree.map(jnp.asarray, self.ae_pretrained)
             self.ae_features = self._gt_hybrid_features()
 
+        # ---- VL4Pose auxiliary net ------------------------------------------
+        self.aux_model = None
+        self.aux_vars = None
+        if "VL4Pose" in self.strategy:
+            from ..models.auxnet import AuxNet
+            self.aux_model = AuxNet()
+            h, w = cfg.DATA_PRESET.IMAGE_SIZE
+            feat_shape = (1, h // 32, w // 32,
+                          2048 if cfg.MODEL.TYPE in ("SimplePose", "FastPose")
+                          else 32)
+            self.aux_vars = self.aux_model.init(
+                jax.random.PRNGKey(318), jnp.zeros(feat_shape))
+
         # ---- scoring engine --------------------------------------------------
         need_emb = (self.representativeness not in ("None", "Random")
                     or self.filter not in ("None", "Random"))
@@ -148,6 +161,7 @@ class ActiveLearning:
                           input_size=tuple(cfg.DATA_PRESET.IMAGE_SIZE),
                           eval_joints=self.eval_joints),
             ae_model=self.ae_model,
+            aux_model=self.aux_model,
             chunk=min(256, max(32, self.eval_len)))
         self._log(f"[[AL strategy: {self.strategy}]] video {self.video_id} "
                   f"N={self.eval_len} model={cfg.MODEL.TYPE}")
@@ -207,7 +221,8 @@ class ActiveLearning:
         res = self.engine.score(
             self.variables, self.frames_dev, d.frame_idx, d.bboxes,
             d.gt_keypoints, bbox_ann_xywh,
-            d.is_prev, d.is_next, ae_variables=self.ae_vars)
+            d.is_prev, d.is_next, ae_variables=self.ae_vars,
+            aux_variables=self.aux_vars)
 
         kpts = res["kpts"].astype(np.float64)          # (N, 51)
         oks = res["oks"].astype(np.float64)

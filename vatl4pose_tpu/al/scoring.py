@@ -41,24 +41,39 @@ class ScoringConfig:
     eval_joints: Tuple[int, ...] = tuple(range(17))
     hybrid_drop_ears: bool = True
 
+    @property
+    def vl4pose(self) -> bool:
+        return self.uncertainty == "VL4Pose"
+
 
 class ScoringEngine:
     """Compiles and runs the two-stage scoring pipeline for one model."""
 
     def __init__(self, model, cfg: ScoringConfig, ae_model=None,
-                 chunk: int = 256):
+                 aux_model=None, chunk: int = 256):
         self.model = model
         self.cfg = cfg
         self.ae_model = ae_model
+        self.aux_model = aux_model
         self.chunk = chunk
         self._fwd = jax.jit(self._forward_chunk)
         self._score = jax.jit(self._score_video)
 
     # ---- stage 1: heatmaps + embeddings ----------------------------------
-    def _forward_chunk(self, variables, frames, frame_idx, bboxes):
+    def _forward_chunk(self, variables, frames, frame_idx, bboxes,
+                       aux_variables=None):
         crops, bbox_crop = crop_batch(frames.astype(jnp.float32), frame_idx,
                                       bboxes, self.cfg.input_size)
-        if self.cfg.need_embedding:
+        aux_params = jnp.zeros((crops.shape[0], 1, 2), jnp.float32)
+        if self.cfg.vl4pose and self.aux_model is not None:
+            # single backbone pass shared by head + auxiliary net
+            feat = self.model.apply(variables, crops,
+                                    method=type(self.model).backbone)
+            hm = self.model.apply(variables, feat,
+                                  method=type(self.model).head)
+            aux_params = self.aux_model.apply(aux_variables, feat)
+            emb = jnp.mean(feat, axis=(1, 2))
+        elif self.cfg.need_embedding:
             hm, emb = self.model.apply(variables, crops,
                                        return_embedding=True)
         else:
@@ -66,27 +81,30 @@ class ScoringEngine:
             emb = jnp.zeros((crops.shape[0], 1), jnp.float32)
         # NHWC -> NKHW
         hm = jnp.transpose(hm, (0, 3, 1, 2))
-        return hm, emb, bbox_crop
+        return hm, emb, bbox_crop, aux_params
 
-    def forward_video(self, variables, frames_dev, frame_idx, bboxes):
-        """Chunked forward over all N samples. Returns np-backed device arrays
-        (N, K, h, w), (N, E), (N, 4)."""
+    def forward_video(self, variables, frames_dev, frame_idx, bboxes,
+                      aux_variables=None):
+        """Chunked forward over all N samples. Returns device arrays
+        (N, K, h, w), (N, E), (N, 4), (N, L, 2)."""
         n = bboxes.shape[0]
-        hms, embs, crops_bb = [], [], []
+        hms, embs, crops_bb, auxs = [], [], [], []
         for s in range(0, n, self.chunk):
             e = min(s + self.chunk, n)
             fi = pad_to(np.asarray(frame_idx[s:e]), self.chunk)
             bb = pad_to(np.asarray(bboxes[s:e]), self.chunk)
-            hm, emb, bc = self._fwd(variables, frames_dev, fi, bb)
+            hm, emb, bc, ap = self._fwd(variables, frames_dev, fi, bb,
+                                        aux_variables)
             hms.append(hm[: e - s])
             embs.append(emb[: e - s])
             crops_bb.append(bc[: e - s])
+            auxs.append(ap[: e - s])
         return (jnp.concatenate(hms), jnp.concatenate(embs),
-                jnp.concatenate(crops_bb))
+                jnp.concatenate(crops_bb), jnp.concatenate(auxs))
 
     # ---- stage 2: decode + all criteria ----------------------------------
     def _score_video(self, hms, bbox_crop, gt_kpts, bbox_ann_xywh,
-                     is_prev, is_next, ae_variables):
+                     is_prev, is_next, ae_variables, aux_params):
         cfg = self.cfg
         ej = np.asarray(cfg.eval_joints)
         pred = hms[:, ej]
@@ -110,6 +128,9 @@ class ScoringEngine:
                 unc2 = self._wpu(ae_variables, bbox_crop, kpts_flat)
         elif "WPU" in u:
             unc = self._wpu(ae_variables, bbox_crop, kpts_flat)
+        elif u == "VL4Pose":
+            from ..ops.vl4pose import vl4pose_scores
+            unc = vl4pose_scores(pred, aux_params)
         elif u == "MPE":
             unc = compute_mpe(pred)
         elif u == "Entropy":
@@ -134,15 +155,15 @@ class ScoringEngine:
 
     # ---- public API -------------------------------------------------------
     def score(self, variables, frames_dev, frame_idx, bboxes, gt_kpts,
-              bbox_ann_xywh, is_prev, is_next,
-              ae_variables=None) -> Dict[str, np.ndarray]:
-        hms, embs, bbox_crop = self.forward_video(variables, frames_dev,
-                                                  frame_idx, bboxes)
+              bbox_ann_xywh, is_prev, is_next, ae_variables=None,
+              aux_variables=None) -> Dict[str, np.ndarray]:
+        hms, embs, bbox_crop, aux_params = self.forward_video(
+            variables, frames_dev, frame_idx, bboxes, aux_variables)
         out = self._score(hms, bbox_crop, jnp.asarray(gt_kpts),
                           jnp.asarray(bbox_ann_xywh),
                           jnp.asarray(is_prev), jnp.asarray(is_next),
                           ae_variables if ae_variables is not None
-                          else {"params": {}})
+                          else {"params": {}}, aux_params)
         res = {k: np.asarray(v) for k, v in out.items()}
         res["embeddings"] = np.asarray(embs)
         res["bbox_crop"] = np.asarray(bbox_crop)

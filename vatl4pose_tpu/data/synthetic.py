@@ -34,10 +34,14 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
-    base_xy = rng.uniform([30, 30], [width - 90, height - 140],
-                          size=(num_persons, 2))
+    # person size/position scale with the frame so tiny fixtures stay valid
+    w_lo, w_hi = 0.12 * width, 0.22 * width
+    h_lo, h_hi = 0.45 * height, 0.7 * height
+    sizes = rng.uniform([w_lo, h_lo], [w_hi, h_hi], size=(num_persons, 2))
+    base_xy = rng.uniform(
+        [10, 10], [max(11, width - w_hi - 20), max(11, height - h_hi - 15)],
+        size=(num_persons, 2))
     vel = rng.uniform(-4, 4, size=(num_persons, 2))
-    sizes = rng.uniform([40, 80], [70, 130], size=(num_persons, 2))
 
     images, annotations = [], []
     ann_counter = 1
