@@ -143,13 +143,15 @@ class ActiveLearning:
         self.aux_vars = None
         if "VL4Pose" in self.strategy:
             from ..models.auxnet import AuxNet
+            assert cfg.MODEL.TYPE in ("SimplePose", "FastPose"), \
+                "VL4Pose needs a backbone/head-split estimator"
             self.aux_model = AuxNet()
             h, w = cfg.DATA_PRESET.IMAGE_SIZE
-            feat_shape = (1, h // 32, w // 32,
-                          2048 if cfg.MODEL.TYPE in ("SimplePose", "FastPose")
-                          else 32)
+            depth = cfg.MODEL.get("NUM_LAYERS", 50)
+            feat_ch = 2048 if depth >= 50 else 512
             self.aux_vars = self.aux_model.init(
-                jax.random.PRNGKey(318), jnp.zeros(feat_shape))
+                jax.random.PRNGKey(318),
+                jnp.zeros((1, h // 32, w // 32, feat_ch)))
 
         # ---- scoring engine --------------------------------------------------
         need_emb = (self.representativeness not in ("None", "Random")

@@ -81,7 +81,15 @@ def train(cfg, opt):
     os.makedirs(opt.work_dir, exist_ok=True)
     best_ap = 0.0
     idx_all = np.arange(len(dataset.data))
+    dpg_milestone = cfg.TRAIN.get("DPG_MILESTONE")
     for epoch in range(begin, end):
+        if dpg_milestone is not None and epoch == dpg_milestone:
+            # DPG second stage (posetrack_train.py:201-210): reset LR
+            # schedule to DPG_STEP and enable dpg augmentation.
+            trainer.aug.add_dpg = True
+            lr_fn = multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.get("DPG_STEP", []),
+                                 cfg.TRAIN.get("LR_FACTOR", 0.1))
+            print(f"DPG stage enabled at epoch {epoch}")
         trainer.base_lr = lr_fn(epoch)
         trainer.gamma = 1.0
         trainer.epoch_counter = 0

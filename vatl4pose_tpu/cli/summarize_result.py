@@ -24,10 +24,10 @@ def load_result_json(path: str):
 
 
 def find_results(exp_root: str):
-    """exp/AL_<memo>/<model>/<strategy>/<video>/<timestamp>/result.json"""
+    """<exp_root>/AL_<memo>/<model>/<strategy>/<video>/<timestamp>/result.json"""
     out = defaultdict(dict)
     for p in sorted(glob.glob(os.path.join(
-            exp_root, "*", "*", "*", "*", "result.json"))):
+            exp_root, "*", "*", "*", "*", "*", "result.json"))):
         parts = p.split(os.sep)
         strategy, video = parts[-4], parts[-3]
         out[strategy][video] = p  # latest timestamp wins (sorted)

@@ -31,6 +31,37 @@ class AugCfg:
     flip: bool = False
     num_joints_half_body: int = 8
     prob_half_body: float = -1.0
+    add_dpg: bool = False             # DPG second-stage aug (transforms.py:43)
+
+
+def add_dpg(bbox_xyxy, imgwidth, imght, rng):
+    """DPG random crop / random shift augmentation of the person box
+    (transforms.py:43-73 addDPG), numpy RNG instead of global random."""
+    b = list(bbox_xyxy)
+    patch_scale = rng.uniform()
+    width = b[2] - b[0]
+    ht = b[3] - b[1]
+    if patch_scale > 0.85:
+        ratio = ht / width
+        if width < ht:
+            patch_w = patch_scale * width
+            patch_h = patch_w * ratio
+        else:
+            patch_h = patch_scale * ht
+            patch_w = patch_h / ratio
+        xmin = b[0] + rng.uniform() * (width - patch_w)
+        ymin = b[1] + rng.uniform() * (ht - patch_h)
+        xmax = xmin + patch_w + 1
+        ymax = ymin + patch_h + 1
+    else:
+        xmin = max(1, min(b[0] + rng.normal(-0.0142, 0.1158) * width,
+                          imgwidth - 3))
+        ymin = max(1, min(b[1] + rng.normal(0.0043, 0.068) * ht, imght - 3))
+        xmax = min(max(xmin + 2, b[2] + rng.normal(0.0154, 0.1337) * width),
+                   imgwidth - 3)
+        ymax = min(max(ymin + 2, b[3] + rng.normal(-0.0013, 0.0711) * ht),
+                   imght - 3)
+    return np.array([xmin, ymin, xmax, ymax], np.float32)
 
 
 def _box_center_scale_np(bbox_xyxy, aspect_ratio, scale_mult=1.25):
@@ -72,6 +103,7 @@ def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
                           joints_vis: np.ndarray, img_wh: Tuple[int, int],
                           input_size: Tuple[int, int], aug: AugCfg,
                           joint_pairs, rng: np.random.Generator):
+    # img_wh = (width, height)
     """Per-sample augmented crop geometry for a training batch.
 
     Returns (inv_mats (N,2,3) dst->src for the device warp, flip (N,) bool —
@@ -87,7 +119,10 @@ def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
     out_vis = joints_vis.astype(np.float32).copy()
     flips = np.zeros(n, bool)
     for i in range(n):
-        center, scale = _box_center_scale_np(bboxes_xyxy[i], ar)
+        bb = bboxes_xyxy[i]
+        if aug.add_dpg:
+            bb = add_dpg(bb, width, height, rng)
+        center, scale = _box_center_scale_np(bb, ar)
         jxy = joints_xy[i].astype(np.float32).copy()
         jv = joints_vis[i].astype(np.float32).copy()
         if (jv.sum() > aug.num_joints_half_body
