@@ -43,6 +43,11 @@ class Cfg(dict):
     def __setattr__(self, k, v):
         self[k] = v
 
+    def setdefault(self, k, default=None):
+        if k not in self:
+            self[k] = default          # routes through the wrapping setitem
+        return self[k]
+
     def __deepcopy__(self, memo):
         return Cfg({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
