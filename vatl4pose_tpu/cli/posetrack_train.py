@@ -26,6 +26,17 @@ def parse_args(argv=None):
     p.add_argument("--snapshot", type=int, default=2)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--epochs_override", type=int, default=None)
+    # distributed-launch surface (parity: alphapose/opt.py:28-39); the
+    # TPU-native backend is jax.distributed (parallel/mesh.init_multihost)
+    p.add_argument("--rank", type=int, default=-1)
+    p.add_argument("--dist-url", dest="dist_url",
+                   default="tcp://127.0.0.1:23456")
+    p.add_argument("--dist-backend", dest="dist_backend", default="ici")
+    p.add_argument("--launcher", choices=["none", "pytorch", "slurm", "mpi"],
+                   default="none")
+    p.add_argument("--sync", action="store_true",
+                   help="batch stats are already globally synced under DP "
+                        "jit (SyncBatchNorm parity is the default here)")
     return p.parse_args(argv)
 
 

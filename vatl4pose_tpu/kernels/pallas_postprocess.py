@@ -20,8 +20,16 @@ tile: 0 px, 1 py, 2 maxval, 3 left, 4 right, 5 up, 6 down (first K lanes),
 7 = [peak_sum, peak_count].
 
 `fused_postprocess` reproduces ops.heatmap.get_max_pred + subpixel +
-ops.peaks.localpeak_mean bit-for-bit (tests/test_pallas.py) and is verified
-compiled on the real chip.
+ops.peaks.localpeak_mean bit-for-bit (tests/test_pallas.py) and compiles and
+runs correctly on the real chip (TPU v5e, jax 0.9).
+
+Measured (v5e, 256×17×64×48): 5.1 ms vs 2.2 ms for the XLA-fused jnp ops —
+XLA's automatic fusion wins here because the one-sample-per-program grid
+under-utilizes the VPU and the Mosaic-compatible one-hot reductions cost
+more than XLA's native gathers.  The kernel therefore stays opt-in
+(ScoringEngine keeps the XLA path); it documents the Mosaic constraints that
+shaped it (no reshape across the lane dim, no gather/take_along_axis, no
+reduce_window/dynamic_update_slice, no 1-D vectors, (8, 128)-tiled outputs).
 """
 
 from __future__ import annotations
@@ -42,23 +50,33 @@ _ROWS = 8
 def _kernel(hm_ref, out_ref):
     hm = hm_ref[0]                         # block (1, K, H, W) -> (K, H, W)
     K, H, W = hm.shape
-    flat = hm.reshape(K, H * W)
-    maxv = jnp.max(flat, axis=1)
-    idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    # Mosaic can't reshape (K, H, W) -> (K, H*W); stay in the native layout.
+    yi = jax.lax.broadcasted_iota(jnp.int32, (K, H, W), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (K, H, W), 2)
+    flat_pos = yi * W + xi
+    # keep every intermediate >= 2-D (Mosaic's layout pass aborts on 1-D
+    # vectors on this backend): per-joint scalars live as (K, 1)
+    maxv = jnp.max(hm, axis=2)                       # (K, H)
+    maxv = jnp.max(maxv, axis=1, keepdims=True)      # (K, 1)
+    # row-major first-match argmax == min flat index among maxima
+    big = jnp.int32(H * W)
+    idx = jnp.min(jnp.where(hm == maxv[:, :, None], flat_pos, big),
+                  axis=2)                            # (K, H)
+    idx = jnp.min(idx, axis=1, keepdims=True)        # (K, 1)
     px = idx % W
     py = idx // W
 
     # neighbor values at the peak for the subpixel shift (clamped; the
     # caller masks the border condition exactly like the reference).
     # take_along_axis/gather doesn't lower in Mosaic — use one-hot
-    # mask-reductions over the flat row instead (a VPU-friendly select+sum).
-    pxc = jnp.clip(px, 1, W - 2)
+    # mask-reductions instead (a VPU-friendly select+sum).
+    pxc = jnp.clip(px, 1, W - 2)                     # (K, 1)
     pyc = jnp.clip(py, 1, H - 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, H * W), 1)
 
     def gather(yy, xx):
-        target = (yy * W + xx)[:, None]
-        return jnp.sum(jnp.where(col == target, flat, 0.0), axis=1)
+        target = (yy * W + xx)[:, :, None]           # (K, 1, 1)
+        hit = jnp.where(flat_pos == target, hm, 0.0)
+        return jnp.sum(jnp.sum(hit, axis=2), axis=1, keepdims=True)  # (K,1)
 
     left = gather(pyc, pxc - 1)
     right = gather(pyc, pxc + 1)
@@ -82,19 +100,30 @@ def _kernel(hm_ref, out_ref):
                    & (xi + dx >= 0) & (xi + dx < W))
             mf = jnp.maximum(mf, jnp.where(inb, r, 0.0))
     is_peak = hm == mf
-    keep = is_peak & (hm >= maxv[:, None, None] * 0.5)
-    peak_sum = jnp.sum(jnp.where(keep, hm, 0.0))
-    peak_cnt = jnp.sum(keep).astype(hm.dtype)
+    keep = is_peak & (hm >= maxv[:, :, None] * 0.5)
+    kept = jnp.where(keep, hm, 0.0)
+    peak_sum = jnp.sum(jnp.sum(kept, axis=2), axis=1, keepdims=True)  # (K,1)
+    peak_cnt = jnp.sum(jnp.sum(keep.astype(hm.dtype), axis=2), axis=1,
+                       keepdims=True)
 
-    def lane_pad(v):
-        return jnp.pad(v.astype(jnp.float32), (0, _LANES - K))
+    # assemble the packed (8, 128) tile: row r, lane k (< K) holds quantity
+    # r of joint k.  Each row is built as (1, LANES) via a one-hot (K, LANES)
+    # selector (no 1-D shapes anywhere).
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (K, _LANES), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (K, _LANES), 1))
+    sel_f = sel.astype(jnp.float32)                  # (K, LANES) one-hot
 
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)[0]
-    last_row = jnp.where(lane_idx == 0, peak_sum,
-                         jnp.where(lane_idx == 1, peak_cnt, 0.0))
-    tile = jnp.stack([
-        lane_pad(px), lane_pad(py), lane_pad(maxv), lane_pad(left),
-        lane_pad(right), lane_pad(up), lane_pad(down), last_row], axis=0)
+    def to_row(q):                                   # (K, 1) -> (1, LANES)
+        return jnp.sum(q * sel_f, axis=0, keepdims=True)
+
+    row7 = jnp.concatenate(
+        [peak_sum.sum(axis=0, keepdims=True),
+         peak_cnt.sum(axis=0, keepdims=True),
+         jnp.zeros((1, _LANES - 2), jnp.float32)], axis=1)
+    tile = jnp.concatenate([to_row(px.astype(jnp.float32)),
+                            to_row(py.astype(jnp.float32)), to_row(maxv),
+                            to_row(left), to_row(right), to_row(up),
+                            to_row(down), row7], axis=0)
     out_ref[0] = tile
 
 
