@@ -33,6 +33,7 @@ from ..models.convert_torch import load_torch_checkpoint
 from ..ops.hybrid import compute_hybrid
 from ..train.optim import init_state
 from ..train.retrain import AETrainer, Retrainer
+from ..utils.profiling import CycleTimer
 from .al_metric import compute_corr, compute_spearmanr
 from .index_sets import IndexCollection
 from .scoring import ScoringConfig, ScoringEngine
@@ -56,6 +57,7 @@ class ActiveLearning:
         self.filter = opt.filter
         self.video_id = opt.video_id
         self.work_dir = opt.work_dir
+        self.timer = CycleTimer(opt.work_dir)
         self.rng = np.random.RandomState(getattr(opt, "seed", None))
 
         # ---- data ----------------------------------------------------------
@@ -156,12 +158,14 @@ class ActiveLearning:
         # ---- scoring engine --------------------------------------------------
         need_emb = (self.representativeness not in ("None", "Random")
                     or self.filter not in ("None", "Random"))
+        self.speedup = bool(getattr(opt, "speedup", False))
         self.engine = ScoringEngine(
             self.model_eval,
             ScoringConfig(uncertainty=self.uncertainty,
                           need_embedding=need_emb,
                           input_size=tuple(cfg.DATA_PRESET.IMAGE_SIZE),
-                          eval_joints=self.eval_joints),
+                          eval_joints=self.eval_joints,
+                          bf16=self.speedup),
             ae_model=self.ae_model,
             aux_model=self.aux_model,
             chunk=min(256, max(32, self.eval_len)))
@@ -213,6 +217,7 @@ class ActiveLearning:
     def eval_and_query(self):
         self._log(f"\n{self.video_id}[[Round{self.round_cnt}: "
                   f"{self.strategy}]]")
+        self.timer.start_cycle(self.round_cnt)
         d = self.data
         # OKS / json bboxes use the clipped crop-source box converted to
         # xywh (ActiveLearning.py:304-312: bbox_xyxy_to_xywh(bboxes_ann)).
@@ -220,11 +225,18 @@ class ActiveLearning:
             [d.bboxes[:, 0], d.bboxes[:, 1],
              d.bboxes[:, 2] - d.bboxes[:, 0],
              d.bboxes[:, 3] - d.bboxes[:, 1]], axis=1)
-        res = self.engine.score(
-            self.variables, self.frames_dev, d.frame_idx, d.bboxes,
-            d.gt_keypoints, bbox_ann_xywh,
-            d.is_prev, d.is_next, ae_variables=self.ae_vars,
-            aux_variables=self.aux_vars)
+        eval_vars = self.variables
+        if self.speedup:
+            # bf16 serving weights (--speedup; not reproducible vs parity)
+            eval_vars = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, self.variables)
+        with self.timer.phase("score"):
+            res = self.engine.score(
+                eval_vars, self.frames_dev, d.frame_idx, d.bboxes,
+                d.gt_keypoints, bbox_ann_xywh,
+                d.is_prev, d.is_next, ae_variables=self.ae_vars,
+                aux_variables=self.aux_vars)
 
         kpts = res["kpts"].astype(np.float64)          # (N, 51)
         oks = res["oks"].astype(np.float64)
@@ -264,10 +276,26 @@ class ActiveLearning:
             json.dump(kpt_json, f)
         with open(os.path.join(self.work_dir, "GT_kpt.json"), "w") as f:
             json.dump(gt_dict, f)
-        perf = evaluate_map(kpt_json, gt_dict)
-        ospa = ospa_for_loc(gt_dict, kpt_json)
-        perf_ann = evaluate_map(kpt_json_ann, gt_dict)
-        ospa_ann = ospa_for_loc(gt_dict, kpt_json_ann)
+        with self.timer.phase("map_ospa"):
+            perf = evaluate_map(kpt_json, gt_dict)
+            ospa = ospa_for_loc(gt_dict, kpt_json)
+            perf_ann = evaluate_map(kpt_json_ann, gt_dict)
+            ospa_ann = ospa_for_loc(gt_dict, kpt_json_ann)
+
+        if getattr(self.opt, "vis", False):
+            # per-round artifact dumps (ActiveLearning.py:416-429, 448-453)
+            hm_dir = os.path.join(self.work_dir, "heatmap",
+                                  f"Round{self.round_cnt}")
+            os.makedirs(hm_dir, exist_ok=True)
+            hms_np = np.asarray(res["heatmaps"], np.float16)
+            np.save(os.path.join(hm_dir, "heatmaps.npy"), hms_np)
+            np.save(os.path.join(hm_dir, "ann_ids.npy"), d.ann_ids)
+            pred_dir = os.path.join(self.work_dir, "prediction",
+                                    f"Round{self.round_cnt}")
+            os.makedirs(pred_dir, exist_ok=True)
+            with open(os.path.join(pred_dir, "predicted_kpt.json"),
+                      "w") as f:
+                json.dump(kpt_json, f)
 
         self.percentage.append(len(labeled) / self.eval_len * 100)
         self.performance.append(perf)
@@ -345,9 +373,10 @@ class ActiveLearning:
             candidate_list = rank_candidates(unlabeled_idx, total_score,
                                              top_k=8 * self.query_size)
 
-        query_list = self._apply_filter(candidate_list, total_score,
-                                        res.get("embeddings"), combine_weight,
-                                        unlabeled_idx)
+        with self.timer.phase("select"):
+            query_list = self._apply_filter(candidate_list, total_score,
+                                            res.get("embeddings"),
+                                            combine_weight, unlabeled_idx)
 
         # ---- tl/tu/fl/fu ------------------------------------------------------
         thresh = self.finish_acc + self.finish_margin
@@ -379,6 +408,7 @@ class ActiveLearning:
             self.query_list_list[rc] = [int(q) for q in query_list]
             self._log(f"Queried: {sorted(query_list)}")
             self._is_finished(query_list, oks_dict)
+        self.timer.end_cycle()
 
     def _gt_coco_dict(self, gt_json):
         from ..data.coco_json import CocoJson
@@ -477,7 +507,10 @@ class ActiveLearning:
             self.retrain_epoch = int(
                 self.cfg.RETRAIN.ALPHA * (1 - self.moks_queried))
         self._log(f"[Retrain Epoch]: {self.retrain_epoch}")
-        self._retrain_model()
+        self.timer.start_cycle(self.round_cnt)
+        with self.timer.phase("retrain"):
+            self._retrain_model()
+        self.timer.end_cycle()
         self.round_cnt += 1
         if len(self.unlabeled_id.index) == 0:
             self._log(" --> Finished!")

@@ -40,6 +40,7 @@ class ScoringConfig:
     input_size: Tuple[int, int] = (256, 192)
     eval_joints: Tuple[int, ...] = tuple(range(17))
     hybrid_drop_ears: bool = True
+    bf16: bool = False                  # bf16 forward (decode stays f32)
 
     @property
     def vl4pose(self) -> bool:
@@ -64,6 +65,8 @@ class ScoringEngine:
                        aux_variables=None):
         crops, bbox_crop = crop_batch(frames.astype(jnp.float32), frame_idx,
                                       bboxes, self.cfg.input_size)
+        if self.cfg.bf16:
+            crops = crops.astype(jnp.bfloat16)
         aux_params = jnp.zeros((crops.shape[0], 1, 2), jnp.float32)
         if self.cfg.vl4pose and self.aux_model is not None:
             # single backbone pass shared by head + auxiliary net
@@ -79,8 +82,9 @@ class ScoringEngine:
         else:
             hm = self.model.apply(variables, crops)
             emb = jnp.zeros((crops.shape[0], 1), jnp.float32)
-        # NHWC -> NKHW
-        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        # NHWC -> NKHW; scoring numerics always run in f32
+        hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
+        emb = emb.astype(jnp.float32)
         return hm, emb, bbox_crop, aux_params
 
     def forward_video(self, variables, frames_dev, frame_idx, bboxes,

@@ -62,6 +62,8 @@ def validate(cfg, variables, split: str, synthetic_root=None):
 
 def main(argv=None):
     import jax
+    from ..utils.runtime import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
     import pickle
     from ..config import update_config

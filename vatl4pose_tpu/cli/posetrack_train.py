@@ -42,6 +42,8 @@ def parse_args(argv=None):
 
 def train(cfg, opt):
     import jax
+    from ..utils.runtime import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
     from ..data.dataset import build_dataset
     from ..data.pipeline import AugCfg

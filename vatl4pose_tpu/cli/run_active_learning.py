@@ -54,6 +54,8 @@ def parse_args(argv=None):
 
 def setup_opt(opt):
     import jax
+    from ..utils.runtime import setup_jax_cache
+    setup_jax_cache()
     opt.num_devices = len(jax.devices())
     opt.seed = None
     if opt.seedfix:

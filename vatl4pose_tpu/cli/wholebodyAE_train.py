@@ -33,6 +33,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import jax
+    from ..utils.runtime import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
     from ..data.wholebody import Wholebody
     from ..models.wholebody_ae import WholeBodyAE
