@@ -125,3 +125,23 @@ class TestIndexCollection:
         ic.update([1, 1, 9])
         assert ic.index == [0, 2, 4, 1, 9]
         assert 9 in ic and 3 not in ic
+
+
+class TestCoresetBucketing:
+    def test_padded_pool_never_picked(self):
+        """Regression: bucketed padding rows must not win the argmax even
+        when 0 * (-inf) NaNs are possible (all-zero uncertainty, mOKS=0)."""
+        emb = RNG.normal(0, 1, size=(10, 16)).astype(np.float32)
+        unc = np.zeros(10)
+        picks = S.coreset_selection(emb, unc, [], 5, 0.01, 0.0,
+                                    mode="dynamic")
+        assert all(0 <= p < 10 for p in picks)
+        assert len(set(picks)) == 5
+
+    def test_bucketed_matches_reference_with_negative_unc(self):
+        emb = RNG.normal(0, 1, size=(23, 8)).astype(np.float32)
+        unc = -RNG.uniform(1, 2, size=23)  # negative scores (HP-style)
+        golden = ref_coreset(emb, unc.copy(), [2, 5], 7, 0.5, 0.4, "dynamic")
+        got = S.coreset_selection(emb, unc.copy(), [2, 5], 7, 0.5, 0.4,
+                                  mode="dynamic")
+        assert got == golden

@@ -161,15 +161,37 @@ class ScoringEngine:
     def score(self, variables, frames_dev, frame_idx, bboxes, gt_kpts,
               bbox_ann_xywh, is_prev, is_next, ae_variables=None,
               aux_variables=None) -> Dict[str, np.ndarray]:
+        n = bboxes.shape[0]
         hms, embs, bbox_crop, aux_params = self.forward_video(
             variables, frames_dev, frame_idx, bboxes, aux_variables)
-        out = self._score(hms, bbox_crop, jnp.asarray(gt_kpts),
-                          jnp.asarray(bbox_ann_xywh),
-                          jnp.asarray(is_prev), jnp.asarray(is_next),
+        # pad the whole-video stage to a bucketed static size so the scoring
+        # program compiles once per bucket across videos/rounds; padded rows
+        # have no neighbors and are sliced away before any bookkeeping.
+        b = bucket_size(n)
+        pad = b - n
+        if pad:
+            hms = jnp.pad(hms, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            bbox_crop_p = jnp.pad(bbox_crop,
+                                  ((0, pad), (0, 0)),
+                                  constant_values=1.0)
+            aux_params = jnp.pad(aux_params, ((0, pad), (0, 0), (0, 0)))
+        else:
+            bbox_crop_p = bbox_crop
+        bb_ann = np.asarray(bbox_ann_xywh, np.float32)
+        if pad:
+            # unit boxes for padded rows keep the (discarded) OKS finite
+            bb_ann = np.concatenate(
+                [bb_ann, np.ones((pad, 4), np.float32)])
+        out = self._score(hms, bbox_crop_p,
+                          jnp.asarray(pad_to(np.asarray(gt_kpts,
+                                                        np.float32), b)),
+                          jnp.asarray(bb_ann),
+                          jnp.asarray(pad_to(np.asarray(is_prev), b)),
+                          jnp.asarray(pad_to(np.asarray(is_next), b)),
                           ae_variables if ae_variables is not None
                           else {"params": {}}, aux_params)
-        res = {k: np.asarray(v) for k, v in out.items()}
+        res = {k: np.asarray(v)[:n] for k, v in out.items()}
         res["embeddings"] = np.asarray(embs)
         res["bbox_crop"] = np.asarray(bbox_crop)
-        res["heatmaps"] = hms  # device array; host-fetch only if needed
+        res["heatmaps"] = hms[:n]
         return res

@@ -17,12 +17,14 @@ semantics); the O(N²) embedding distance work runs on device (MXU matmuls).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
 
 __all__ = [
     "cosine_distance_rowsums", "influence_scores", "minmax", "fuse_thc_wpu",
@@ -165,10 +167,30 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
           'plain'    → argmax(min_dist)  (uncertainty None or λ == 0)
     First pick (no labeled data): argmax(unc) (dynamic/fixed) or uniform
     random (plain).  Selected items get uncertainty zeroed (:846).
+
+    Shapes are bucketed (rows padded with -inf scores, loop length padded
+    and sliced) so the compiled program is reused across rounds/videos.
     """
-    emb = jnp.asarray(embeddings, jnp.float32)
-    unc0 = jnp.asarray(uncertainty, jnp.float32)
-    n = emb.shape[0]
+    from ..data.pipeline import bucket_size
+
+    n_real = int(np.asarray(embeddings).shape[0])
+    q_real = int(query_size)
+    nb = bucket_size(n_real)
+    qb = bucket_size(q_real, buckets=(8, 16, 32, 64, 128, 256, 512, 1024,
+                                      2048, 4096))
+    qb = min(qb, n_real)  # cannot pick more than the real pool
+    emb_np = np.zeros((nb, np.asarray(embeddings).shape[1]), np.float32)
+    emb_np[:n_real] = np.asarray(embeddings, np.float32)
+    unc_np = np.full(nb, -np.inf, np.float32)
+    unc_np[:n_real] = np.asarray(uncertainty, np.float32)
+    valid_np = np.zeros(nb, bool)
+    valid_np[:n_real] = True
+
+    emb = jnp.asarray(emb_np)
+    unc0 = jnp.asarray(unc_np)
+    valid = jnp.asarray(valid_np)
+    n = nb
+    query_size = qb
 
     sq = jnp.sum(emb * emb, axis=1)
 
@@ -176,9 +198,10 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
         li = jnp.asarray(np.asarray(labeled_idx, np.int32))
         d2 = sq[:, None] + sq[li][None, :] - 2.0 * (emb @ emb[li].T)
         init_min = jnp.min(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
+        init_min = jnp.where(valid, init_min, -jnp.inf)
         have_labeled = True
     else:
-        init_min = jnp.full((n,), jnp.inf, jnp.float32)
+        init_min = jnp.where(valid, jnp.inf, -jnp.inf)
         have_labeled = False
 
     if mode == "dynamic":
@@ -201,15 +224,18 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
         min_d, unc, picks = state
         # first pick with no labeled centers: argmax(unc) (or a preselected
         # random index for 'plain' mode)
-        no_centers = jnp.isinf(min_d).all()
-        ind_unc = jnp.argmax(unc)
-        ind_score = jnp.argmax(score(min_d, unc))
+        no_centers = (jnp.where(valid, min_d, jnp.inf) == jnp.inf).all()
+        ind_unc = jnp.argmax(jnp.where(valid, unc, -jnp.inf))
+        # evaluate the score on sanitized inputs then mask the padding —
+        # -inf arithmetic (e.g. 0 * -inf) breeds NaNs that win argmax
+        sc = score(jnp.where(valid, min_d, 0.0), jnp.where(valid, unc, 0.0))
+        ind_score = jnp.argmax(jnp.where(valid, sc, -jnp.inf))
         ind = jnp.where(no_centers,
                         first_idx if first_idx is not None else ind_unc,
                         ind_score)
         # exact per-center distances (avoids the a²+b²-2ab cancellation)
         dn = jnp.sqrt(jnp.sum(jnp.square(emb - emb[ind]), axis=1))
-        min_d = jnp.minimum(min_d, dn)
+        min_d = jnp.where(valid, jnp.minimum(min_d, dn), -jnp.inf)
         unc = unc.at[ind].set(0.0)
         picks = picks.at[i].set(ind)
         return (min_d, unc, picks)
@@ -217,4 +243,4 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
     picks0 = jnp.zeros((query_size,), jnp.int32)
     _, _, picks = jax.lax.fori_loop(0, query_size, body,
                                     (init_min, unc0, picks0))
-    return [int(p) for p in np.asarray(picks)]
+    return [int(p) for p in np.asarray(picks)[:q_real]]

@@ -223,7 +223,14 @@ def main(argv=None):
     if opt.synthetic:
         cfg = prepare_synthetic(cfg, opt)
     if opt.optimize:
-        videos = [opt.video_id]
+        # reference reads configs/trainval_video_list.txt
+        # (Run_active_learning.py:249)
+        list_path = "configs/posetrack21/trainval_video_list.txt"
+        if os.path.exists(list_path) and not opt.synthetic:
+            videos = [v for v in
+                      open(list_path).read().splitlines() if v]
+        else:
+            videos = [opt.video_id]
         optimize_alc(cfg, opt, videos)
     else:
         result = do_al(cfg, opt)
