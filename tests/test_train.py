@@ -1,0 +1,160 @@
+"""Training-stack parity: optimizers vs torch.optim (exact sequences),
+losses, accuracy metric, schedules."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vatl4pose_tpu.train import optim as O
+
+RNG = np.random.default_rng(99)
+
+
+def run_torch_opt(make_opt, params_np, grads_seq):
+    tp = [torch.nn.Parameter(torch.tensor(p)) for p in params_np]
+    opt = make_opt(tp)
+    for grads in grads_seq:
+        opt.zero_grad()
+        for p, g in zip(tp, grads):
+            p.grad = torch.tensor(g)
+        opt.step()
+    return [p.detach().numpy() for p in tp]
+
+
+def run_ours(update, params_np, grads_seq, lr, lr_mults=None):
+    params = {f"p{i}": jnp.asarray(p) for i, p in enumerate(params_np)}
+    state = O.init_state(params)
+    mults = None
+    if lr_mults:
+        mults = {f"p{i}": m for i, m in enumerate(lr_mults)}
+    for grads in grads_seq:
+        g = {f"p{i}": jnp.asarray(gg) for i, gg in enumerate(grads)}
+        params, state = update(params, g, state, jnp.asarray(lr), mults)
+    return [np.asarray(params[f"p{i}"]) for i in range(len(params_np))]
+
+
+def make_case(n_steps=5):
+    params = [RNG.normal(0, 1, (4, 3)).astype(np.float32),
+              RNG.normal(0, 1, (7,)).astype(np.float32)]
+    grads_seq = [[RNG.normal(0, 0.5, p.shape).astype(np.float32)
+                  for p in params] for _ in range(n_steps)]
+    return params, grads_seq
+
+
+class TestOptimizers:
+    def test_adamw_matches_torch(self):
+        params, grads = make_case()
+        golden = run_torch_opt(
+            lambda tp: torch.optim.AdamW(tp, lr=2.5e-4, weight_decay=0.7),
+            params, grads)
+        got = run_ours(O.make_adamw(weight_decay=0.7), params, grads, 2.5e-4)
+        for a, b in zip(got, golden):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_adamw_per_group_lr(self):
+        params, grads = make_case()
+        golden = run_torch_opt(
+            lambda tp: torch.optim.AdamW(
+                [{"params": [tp[0]], "lr": 2.5e-3},
+                 {"params": [tp[1]], "lr": 2.5e-4}], weight_decay=0.7),
+            params, grads)
+        got = run_ours(O.make_adamw(weight_decay=0.7), params, grads,
+                       2.5e-4, lr_mults=[10.0, 1.0])
+        for a, b in zip(got, golden):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_adam_matches_torch(self):
+        params, grads = make_case()
+        golden = run_torch_opt(lambda tp: torch.optim.Adam(tp, lr=1e-3),
+                               params, grads)
+        got = run_ours(O.make_adam(), params, grads, 1e-3)
+        for a, b in zip(got, golden):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_sgd_momentum_matches_torch(self):
+        params, grads = make_case()
+        golden = run_torch_opt(
+            lambda tp: torch.optim.SGD(tp, lr=0.01, momentum=0.9,
+                                       weight_decay=0.0005),
+            params, grads)
+        got = run_ours(O.make_sgd(momentum=0.9, weight_decay=0.0005),
+                       params, grads, 0.01)
+        for a, b in zip(got, golden):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+class TestSchedules:
+    def test_exponential(self):
+        lr = O.exponential_lr(2.5e-4, 0.99)
+        assert abs(lr(0) - 2.5e-4) < 1e-12
+        assert abs(lr(10) - 2.5e-4 * 0.99 ** 10) < 1e-12
+
+    def test_multistep(self):
+        lr = O.multistep_lr(1e-3, [90, 120], 0.1)
+        assert lr(0) == 1e-3
+        assert abs(lr(90) - 1e-4) < 1e-12
+        assert abs(lr(120) - 1e-5) < 1e-15
+        assert abs(lr(200) - 1e-5) < 1e-15
+
+
+class TestLosses:
+    def test_masked_mse_matches_torch_call_site(self):
+        from vatl4pose_tpu.models.criterion import masked_heatmap_loss
+        out = RNG.normal(0, 1, (4, 17, 8, 6)).astype(np.float32)
+        tgt = RNG.normal(0, 1, (4, 17, 8, 6)).astype(np.float32)
+        mask = (RNG.uniform(size=(4, 17, 1, 1)) > 0.3).astype(np.float32)
+        golden = 0.5 * torch.nn.MSELoss()(
+            torch.tensor(out) * torch.tensor(mask),
+            torch.tensor(tgt) * torch.tensor(mask)).item()
+        got = float(masked_heatmap_loss(jnp.asarray(out), jnp.asarray(tgt),
+                                        jnp.asarray(mask)))
+        np.testing.assert_allclose(got, golden, rtol=1e-6)
+
+    def test_padded_batch_matches_unpadded(self):
+        from vatl4pose_tpu.models.criterion import masked_heatmap_loss
+        out = RNG.normal(0, 1, (3, 17, 8, 6)).astype(np.float32)
+        tgt = RNG.normal(0, 1, (3, 17, 8, 6)).astype(np.float32)
+        mask = np.ones((3, 17, 1, 1), np.float32)
+        base = float(masked_heatmap_loss(jnp.asarray(out), jnp.asarray(tgt),
+                                         jnp.asarray(mask)))
+        pad = lambda a: np.concatenate([a, np.zeros_like(a)[:2]])
+        valid = jnp.asarray([True, True, True, False, False])
+        padded = float(masked_heatmap_loss(
+            jnp.asarray(pad(out)), jnp.asarray(pad(tgt)),
+            jnp.asarray(pad(mask)), valid=valid))
+        np.testing.assert_allclose(padded, base, rtol=1e-6)
+
+
+class TestAccuracy:
+    def test_calc_accuracy_matches_reference_semantics(self):
+        from vatl4pose_tpu.utils.metrics import calc_accuracy
+        from vatl4pose_tpu.ops.heatmap import get_max_pred
+
+        preds = RNG.normal(0.2, 0.5, (6, 17, 16, 12)).astype(np.float32)
+        labels = RNG.normal(0.2, 0.5, (6, 17, 16, 12)).astype(np.float32)
+
+        # numpy replica of metrics.py:118-147
+        def ref_acc(preds, labels, thr=0.5):
+            p = np.asarray(get_max_pred(jnp.asarray(preds))[0])
+            l = np.asarray(get_max_pred(jnp.asarray(labels))[0])
+            H, W = preds.shape[2], preds.shape[3]
+            norm = np.array([W, H]) / 10
+            dists = np.zeros((17, 6))
+            for n in range(6):
+                for c in range(17):
+                    if l[n, c, 0] > 1 and l[n, c, 1] > 1:
+                        dists[c, n] = np.linalg.norm(
+                            p[n, c] / norm - l[n, c] / norm)
+                    else:
+                        dists[c, n] = 0
+            accs = []
+            for c in range(17):
+                cal = dists[c] != 0
+                if cal.sum() > 0:
+                    accs.append((dists[c][cal] < thr).sum() / cal.sum())
+            return float(np.mean(accs)) if accs else 0.0
+
+        np.testing.assert_allclose(calc_accuracy(preds, labels),
+                                   ref_acc(preds, labels), rtol=1e-6)
