@@ -92,3 +92,20 @@ class TestCheckpoint:
         assert n == 1
         np.testing.assert_array_equal(merged["params"]["a"], np.ones((3, 2)))
         assert merged["params"]["b"].shape == (7,)
+
+
+class TestJrdbDataset:
+    def test_three_digit_composite_sort(self, synth):
+        from vatl4pose_tpu.config import Cfg
+        root, ann = synth
+        ds = build_dataset(Cfg({"TYPE": "JRDB2022", "ROOT": root,
+                                "ANN": ann}))
+        d = ds.data
+        assert len(d) == 8
+        # composite ids strictly increasing in dataset order (3-digit suffix)
+        comp = [int(str(a)[-3:] + str(i))
+                for a, i in zip(d.ann_ids, d.img_ids)]
+        # not necessarily the stored order, but track flags must be coherent
+        for i in range(1, len(d)):
+            if d.track_keys[i] == d.track_keys[i - 1]:
+                assert d.is_prev[i]
