@@ -128,3 +128,16 @@ class TestConvTranspose:
             padding=1).numpy()
         np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestExport:
+    def test_roundtrip_torch_flax_torch(self):
+        from vatl4pose_tpu.models.convert_torch import export_state_dict
+        tmodel = tm.SimplePose(depth=18)
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+              if not k.endswith("num_batches_tracked")}
+        variables = convert_state_dict(sd, "SimplePose")
+        back = export_state_dict(variables, "SimplePose")
+        assert set(back) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k])

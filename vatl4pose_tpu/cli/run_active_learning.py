@@ -25,7 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--uncertainty", type=str, default="None")
     p.add_argument("--representativeness", type=str, default="None")
     p.add_argument("--filter", type=str, default="None")
-    p.add_argument("--video_id", type=str, required=True)
+    p.add_argument("--video_id", type=str, required=True,
+                   help="video id, or comma-separated list — multiple "
+                        "videos run sequentially in ONE process so compiled "
+                        "programs (bucketed shapes) are reused across them")
     p.add_argument("--wunc", type=float, default=0.01)
     p.add_argument("--retrain_thresh", type=float, default=1)
     p.add_argument("--verbose", action="store_true")
@@ -222,6 +225,16 @@ def main(argv=None):
     opt = set_dir(cfg, opt)
     if opt.synthetic:
         cfg = prepare_synthetic(cfg, opt)
+    if "," in opt.video_id and not opt.optimize:
+        videos = [v for v in opt.video_id.split(",") if v]
+        base_dir = opt.work_dir
+        for vid in videos:
+            opt.video_id = vid
+            opt.work_dir = os.path.join(base_dir, vid)
+            os.makedirs(opt.work_dir, exist_ok=True)
+            result = do_al(cfg, opt)
+            save_result(cfg, opt, result)
+        return
     if opt.optimize:
         # reference reads configs/trainval_video_list.txt
         # (Run_active_learning.py:249)

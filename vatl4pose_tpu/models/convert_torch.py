@@ -19,7 +19,10 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["convert_state_dict", "load_torch_checkpoint"]
+import jax
+
+__all__ = ["convert_state_dict", "load_torch_checkpoint",
+           "export_state_dict", "save_torch_checkpoint"]
 
 
 def load_torch_checkpoint(path: str):
@@ -29,6 +32,103 @@ def load_torch_checkpoint(path: str):
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     return {k: v.detach().cpu().numpy() for k, v in state.items()}
+
+
+def export_state_dict(variables, arch: str):
+    """Inverse of convert_state_dict: Flax variables → torch-layout
+    state_dict ({name: np.ndarray}), so weights trained here load into the
+    reference's models for A/B runs.  Implemented by inverting the forward
+    mapping: enumerate every torch key the architecture produces via the
+    path functions and pull the matching leaf."""
+    params = variables.get("params", variables)
+    batch_stats = variables.get("batch_stats", {})
+    out = {}
+    # reconstruct torch module names from the flax structure with
+    # arch-specific inverse rules
+    inv = _INVERSE_PATHS[arch]
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [k.key for k in keypath]
+        torch_mod = inv(names[:-1])
+        leaf_name = names[-1]
+        arr = np.asarray(leaf)
+        if leaf_name == "kernel":
+            if arr.ndim == 4:
+                if names[-2] in _DECONV_MODULES:
+                    out[torch_mod + ".weight"] = arr.transpose(2, 3, 0, 1)
+                else:
+                    out[torch_mod + ".weight"] = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 2:
+                out[torch_mod + ".weight"] = arr.transpose(1, 0)
+            else:
+                out[torch_mod + ".weight"] = arr
+        elif leaf_name == "scale":
+            out[torch_mod + ".weight"] = arr
+        elif leaf_name == "bias":
+            out[torch_mod + ".bias"] = arr
+        else:
+            out[torch_mod + "." + leaf_name] = arr
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(
+            batch_stats)[0]:
+        names = [k.key for k in keypath]
+        torch_mod = inv(names[:-1])
+        leaf_name = {"mean": "running_mean", "var": "running_var"}[names[-1]]
+        out[torch_mod + "." + leaf_name] = np.asarray(leaf)
+    return out
+
+
+def save_torch_checkpoint(path: str, variables, arch: str):
+    import torch
+    sd = {k: torch.tensor(v) for k, v in
+          export_state_dict(variables, arch).items()}
+    torch.save(sd, path)
+    return path
+
+
+def _inv_resnet_block(name: str) -> List[str]:
+    if name == "downsample_conv":
+        return ["downsample", "0"]
+    if name == "downsample_bn":
+        return ["downsample", "1"]
+    return [name]
+
+
+def _inv_simplepose(names: List[str]) -> str:
+    t = []
+    i = 0
+    if names[0] == "preact":
+        t.append("preact")
+        rest = names[1:]
+        m = re.fullmatch(r"layer(\d+)_(\d+)", rest[0])
+        if m:
+            t += [f"layer{m.group(1)}", m.group(2)]
+            for r in rest[1:]:
+                if r == "se":
+                    t.append("se")
+                elif r in ("fc1", "fc2"):
+                    t += ["fc", "0" if r == "fc1" else "2"]
+                else:
+                    t += _inv_resnet_block(r)
+        else:
+            t += rest
+        return ".".join(t)
+    name = names[0]
+    deconv = {"deconv1": "0", "bn_d1": "1", "deconv2": "3", "bn_d2": "4",
+              "deconv3": "6", "bn_d3": "7"}
+    if name in deconv:
+        return f"deconv_layers.{deconv[name]}"
+    return ".".join(names)
+
+
+def _inv_wholebody_ae(names: List[str]) -> str:
+    name = names[0]
+    side = "encoder" if name.startswith("enc") else "decoder"
+    return f"{side}.{int(name[3:]) * 2}"
+
+
+_INVERSE_PATHS = {
+    "SimplePose": _inv_simplepose,
+    "WholeBodyAE": _inv_wholebody_ae,
+}
 
 
 def _resnet_block_path(tokens: List[str]) -> List[str]:
