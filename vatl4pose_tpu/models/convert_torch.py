@@ -125,8 +125,17 @@ def _inv_wholebody_ae(names: List[str]) -> str:
     return f"{side}.{int(name[3:]) * 2}"
 
 
+def _inv_fastpose(names: List[str]) -> str:
+    if names[0] == "preact":
+        return _inv_simplepose(names)
+    if names[0] in ("duc1", "duc2"):
+        return f"{names[0]}.{names[1]}"
+    return ".".join(names)  # conv_out
+
+
 _INVERSE_PATHS = {
     "SimplePose": _inv_simplepose,
+    "FastPose": _inv_fastpose,
     "WholeBodyAE": _inv_wholebody_ae,
 }
 
