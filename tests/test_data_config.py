@@ -109,3 +109,29 @@ class TestJrdbDataset:
         for i in range(1, len(d)):
             if d.track_keys[i] == d.track_keys[i - 1]:
                 assert d.is_prev[i]
+
+
+class TestJpegFrames:
+    def test_load_frames_from_jpeg(self, tmp_path):
+        """Real PoseTrack frames are JPEGs — exercise the cv2 decode path."""
+        import cv2
+        from vatl4pose_tpu.config import Cfg
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=3,
+                                         num_persons=1, width=120, height=96)
+        # convert the .npy frames to .jpg and rewrite the annotation
+        with open(os.path.join(root, ann)) as f:
+            data = json.load(f)
+        for img in data["images"]:
+            arr = np.load(os.path.join(root, img["file_name"]))
+            new_name = img["file_name"].replace(".npy", ".jpg")
+            cv2.imwrite(os.path.join(root, new_name),
+                        cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+            img["file_name"] = new_name
+        with open(os.path.join(root, ann), "w") as f:
+            json.dump(data, f)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann}))
+        frames = ds.load_frames()
+        assert frames.shape == (3, 96, 120, 3)
+        assert frames.dtype == np.uint8
+        assert frames.max() > 50  # decoded real content, RGB order

@@ -195,7 +195,14 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
     sq = jnp.sum(emb * emb, axis=1)
 
     if len(labeled_idx) > 0:
-        li = jnp.asarray(np.asarray(labeled_idx, np.int32))
+        # bucket the labeled set too (repeat the first index — duplicate
+        # centers don't change the min distance) so the init program
+        # compiles once per bucket instead of once per round
+        li_np = np.asarray(labeled_idx, np.int32)
+        lb = bucket_size(len(li_np))
+        li_np = np.concatenate(
+            [li_np, np.full(lb - len(li_np), li_np[0], np.int32)])
+        li = jnp.asarray(li_np)
         d2 = sq[:, None] + sq[li][None, :] - 2.0 * (emb @ emb[li].T)
         init_min = jnp.min(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
         init_min = jnp.where(valid, init_min, -jnp.inf)
