@@ -14,10 +14,9 @@ ranking/filters (float64, exact ordering semantics).
 
 from __future__ import annotations
 
-import copy
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -31,10 +30,8 @@ from ..eval.ospa import ospa_for_loc
 from ..models import build_sppe, build_wholebody_ae, convert_state_dict
 from ..models.convert_torch import load_torch_checkpoint
 from ..ops.hybrid import compute_hybrid
-from ..train.optim import init_state
 from ..train.retrain import AETrainer, Retrainer
 from ..utils.profiling import CycleTimer
-from .al_metric import compute_corr, compute_spearmanr
 from .index_sets import IndexCollection
 from .scoring import ScoringConfig, ScoringEngine
 from .selection import (coreset_selection, diversity_filter, fuse_thc_wpu,

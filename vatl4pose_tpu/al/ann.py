@@ -15,8 +15,6 @@ faster — this exists for capability parity and very large pools.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

@@ -17,8 +17,7 @@ Every sample's heatmap is computed exactly once.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ semantics); the O(N²) embedding distance work runs on device (MXU matmuls).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

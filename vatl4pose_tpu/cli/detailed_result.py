@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from .summarize_result import (AP_HR, ap_series, find_results, interp_curve,
+from .summarize_result import (AP_HR, find_results, interp_curve,
                                load_result_json)
 
 METRIC_KEYS = ["AP", "AP .5", "AP .6", "AP .7", "AP .75", "AP .8",

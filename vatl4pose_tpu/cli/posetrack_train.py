@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
-import time
 
 import numpy as np
 
@@ -49,7 +48,7 @@ def train(cfg, opt):
     from ..data.pipeline import AugCfg
     from ..eval.cocoeval import evaluate_map
     from ..models import build_sppe
-    from ..train.optim import make_adam, multistep_lr, init_state
+    from ..train.optim import multistep_lr
     from ..train.retrain import Retrainer
     from ..al.scoring import ScoringConfig, ScoringEngine
 

@@ -8,13 +8,10 @@ LaTeX-ready strategy table.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
-import numpy as np
-
 from .detailed_result import collect, plot_comparison
-from .summarize_result import AP_HR, summarize
+from .summarize_result import summarize
 
 
 def alc_bar_chart(table: dict, out_dir: str):

@@ -8,8 +8,6 @@ jsons, no temporal linkage.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..registry import DATASET
 from .dataset import VideoPoseDataset
 

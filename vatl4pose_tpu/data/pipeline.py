@@ -14,7 +14,7 @@ warp + Gaussian targets on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

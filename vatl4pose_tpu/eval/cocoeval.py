@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Union
+from typing import Dict, Union
 
 import numpy as np
 

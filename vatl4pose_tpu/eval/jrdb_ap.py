@@ -12,7 +12,7 @@ interpolated precision.  The unlabeled-box forgiveness path is kept
 from __future__ import annotations
 
 import json
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Union
 
 import numpy as np
 

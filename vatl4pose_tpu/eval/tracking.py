@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Union
+from typing import Dict
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -15,9 +15,6 @@ matching the channel layout of dcn/deform_conv.py:113-188.
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import numpy as np
 from flax import linen as nn
 
 import jax

@@ -7,9 +7,7 @@ STAGE_WITH_DCN, STAGE2/3/4, FINAL_CONV_KERNEL) onto the Flax modules.
 
 from __future__ import annotations
 
-from typing import Any
-
-from ..registry import DATASET, LOSS, SPPE, build_from_cfg
+from ..registry import SPPE, build_from_cfg
 from .criterion import LOSS_REGISTRY
 from .fastpose import FastPose
 from .hrnet import PoseHighResolutionNet

@@ -15,7 +15,7 @@ batch_stats trees.  Pure tensor-layout translation:
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,9 +14,8 @@ reference would AttributeError on that path.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -11,9 +11,8 @@ Param naming is chosen so torch state_dict keys map mechanically:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import max_pool_same_torch, torch_batchnorm, SELayer

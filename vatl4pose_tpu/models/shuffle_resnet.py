@@ -10,8 +10,6 @@ configs (SURVEY §2.2) — capability parity.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 from flax import linen as nn
 
 from .layers import (SELayer, max_pool_same_torch, pixel_unshuffle,

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.auxnet import COCO_LINKS
-from .peaks import peak_local_max_topk
 
 __all__ = ["vl4pose_scores", "auxnet_nll_loss", "pairwise_link_distances"]
 

@@ -7,9 +7,6 @@ TPU-native replacement for nn.DataParallel (ActiveLearning.py:233).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -15,7 +15,7 @@ where optimizer state and schedule survive across AL rounds.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

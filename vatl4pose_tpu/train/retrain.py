@@ -9,9 +9,7 @@ step (crop → forward → loss → backward → optimizer) is one jitted progra
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -23,7 +21,7 @@ from ..models.criterion import masked_heatmap_loss
 from ..ops.heatmap import gaussian_target
 from ..ops.warp import RGB_MEAN, warp_affine_bilinear
 from ..utils.metrics import DataLogger, calc_accuracy
-from .optim import OptState, build_optimizer, init_state, lr_multiplier_tree
+from .optim import build_optimizer, init_state, lr_multiplier_tree
 
 
 class Retrainer:

@@ -8,8 +8,6 @@ label argmax is at x>1 and y>1.
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
