@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic video instead of reading "
                         "PoseTrack21/JRDB from disk")
+    p.add_argument("--synth_frames", type=int, default=8)
+    p.add_argument("--synth_persons", type=int, default=3)
+    p.add_argument("--synth_size", type=int, nargs=2, default=[320, 240],
+                   metavar=("W", "H"))
     return p.parse_args(argv)
 
 
@@ -100,8 +104,10 @@ def prepare_synthetic(cfg, opt):
     import tempfile
     from ..data.synthetic import make_synthetic_video
     root = tempfile.mkdtemp(prefix="vatl_synth_")
-    _, ann = make_synthetic_video(root, video_id=opt.video_id,
-                                  seed=opt.seed or 166)
+    _, ann = make_synthetic_video(
+        root, video_id=opt.video_id, seed=opt.seed or 166,
+        num_frames=opt.synth_frames, num_persons=opt.synth_persons,
+        width=opt.synth_size[0], height=opt.synth_size[1])
     for split in ("EVAL", "TRAIN"):
         cfg.DATASET[split].ROOT = root
         cfg.DATASET[split].ANN = ann

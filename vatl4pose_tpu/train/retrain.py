@@ -114,7 +114,10 @@ class Retrainer:
                     jnp.asarray(pad_to(vis, bs)),
                     jnp.asarray(valid), jnp.asarray(lr, jnp.float32))
                 loss_logger.update(float(loss), n)
-                acc_logger.update(calc_accuracy(out[:n], tgt[:n]), n)
+                # full padded batch keeps the jitted accuracy shape static
+                # (padded rows have all-zero labels → excluded by the
+                # visibility rule, metrics.py:118-147 semantics)
+                acc_logger.update(calc_accuracy(out, tgt), n)
             self.epoch_counter += 1  # scheduler.step()
         if log:
             log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
