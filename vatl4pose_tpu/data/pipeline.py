@@ -18,10 +18,32 @@ from typing import Tuple
 
 import numpy as np
 
-from ..ops import affine as A
-
 UPPER_BODY_IDS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 LOWER_BODY_IDS = (11, 12, 13, 14, 15, 16)
+
+
+def np_affine_transform(center, scale, rot_deg, out_wh, inv=False):
+    """Closed-form similarity affine in pure numpy — the host-side twin of
+    ops/affine.get_affine_transform (device calls per sample through the
+    remote tunnel cost ~50 ms each; the retrain loop computes hundreds of
+    these per batch on the host)."""
+    dst_w, dst_h = float(out_wh[0]), float(out_wh[1])
+    rot = np.deg2rad(rot_deg)
+    src_w = float(scale[0])
+    s = dst_w / src_w
+    cs, sn = np.cos(rot), np.sin(rot)
+    if not inv:
+        m00, m01 = s * cs, s * sn
+        m10, m11 = -s * sn, s * cs
+        m02 = dst_w * 0.5 - (m00 * center[0] + m01 * center[1])
+        m12 = dst_h * 0.5 - (m10 * center[0] + m11 * center[1])
+    else:
+        inv_s = src_w / dst_w
+        m00, m01 = inv_s * cs, -inv_s * sn
+        m10, m11 = inv_s * sn, inv_s * cs
+        m02 = center[0] - (m00 * dst_w * 0.5 + m01 * dst_h * 0.5)
+        m12 = center[1] - (m10 * dst_w * 0.5 + m11 * dst_h * 0.5)
+    return np.array([[m00, m01, m02], [m10, m11, m12]], np.float32)
 
 
 @dataclasses.dataclass
@@ -145,10 +167,9 @@ def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
                 jv[[a, b]] = jv[[b, a]]
             jxy[:, 0] *= jv
             center[0] = width - center[0] - 1
-        fwd = np.asarray(A.get_affine_transform(center, scale, r,
-                                                (inp_w, inp_h)))
-        inv = np.asarray(A.get_affine_transform(center, scale, r,
-                                                (inp_w, inp_h), inv=True))
+        fwd = np_affine_transform(center, scale, r, (inp_w, inp_h))
+        inv = np_affine_transform(center, scale, r, (inp_w, inp_h),
+                                  inv=True)
         if flips[i]:
             # fold the image flip into the dst->src map: the flipped image's
             # pixel sx reads the original at width-1-sx.
@@ -175,8 +196,8 @@ def eval_sample_geometry(bboxes_xyxy: np.ndarray,
     bbox_crop = np.zeros((n, 4), np.float32)
     for i in range(n):
         center, scale = _box_center_scale_np(bboxes_xyxy[i], ar)
-        inv_mats[i] = np.asarray(A.get_affine_transform(
-            center, scale, 0.0, (inp_w, inp_h), inv=True))
+        inv_mats[i] = np_affine_transform(center, scale, 0.0,
+                                          (inp_w, inp_h), inv=True)
         bbox_crop[i] = [center[0] - scale[0] / 2, center[1] - scale[1] / 2,
                         center[0] + scale[0] / 2, center[1] + scale[1] / 2]
     return inv_mats, bbox_crop
