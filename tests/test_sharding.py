@@ -71,3 +71,37 @@ class TestMesh:
         p0 = jax.tree.leaves(variables["params"])[0]
         p1 = jax.tree.leaves(new_vars["params"])[0]
         assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+class TestTwoAxisMesh:
+    def test_video_by_data_mesh(self):
+        """The embarrassingly-parallel per-video axis the reference drives
+        from a shell loop (backrun_active_learning.sh) becomes a second mesh
+        dimension: videos shard over 'video', each video's samples shard
+        over 'data' (SURVEY §2.5 / §5.8)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vatl4pose_tpu.models import SimplePose
+        from vatl4pose_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(8, axes=("video", "data"), shape=(2, 4))
+        model = SimplePose(num_joints=17, num_layers=18, train=False)
+        x = jnp.asarray(np.random.default_rng(3).normal(
+            0, 1, (2, 8, 64, 64, 3)), jnp.float32)   # (videos, samples, ...)
+        variables = model.init(jax.random.PRNGKey(0), x[0, :1])
+        vs = NamedSharding(mesh, P("video", "data"))
+        repl = NamedSharding(mesh, P())
+
+        def fwd(variables, x):
+            V, B = x.shape[0], x.shape[1]
+            hm = model.apply(variables, x.reshape(V * B, *x.shape[2:]))
+            return hm.reshape(V, B, *hm.shape[1:])
+
+        step = jax.jit(fwd, in_shardings=(repl, vs), out_shardings=vs)
+        with mesh:
+            out = step(jax.device_put(variables, repl),
+                       jax.device_put(x, vs))
+        assert out.shape == (2, 8, 16, 16, 17)
+        # matches the unsharded forward
+        ref = model.apply(variables, x.reshape(16, 64, 64, 3))
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(16, 16, 16, 17), np.asarray(ref),
+            rtol=2e-4, atol=1e-5)
