@@ -102,3 +102,37 @@ class TestEndToEnd:
         # uncertainty dict holds [thc, wpu] pairs
         r0 = result[4]["Round0"]
         assert len(next(iter(r0.values()))) == 2
+
+
+class TestResume:
+    def test_checkpoint_resume_matches_uninterrupted(self, synth, tmp_path):
+        """Interrupt after round 0, resume in a fresh orchestrator, and the
+        remaining rounds must produce identical selections and curves."""
+        from vatl4pose_tpu.al.active_learning import ActiveLearning
+        root, ann = synth
+        cfg = _cfg(root, ann)
+        # uninterrupted reference run
+        optA = Opt(str(tmp_path / "a"), uncertainty="THC_L1",
+                   filter="Coreset", strategy="s")
+        alA = ActiveLearning(cfg, optA)
+        while True:
+            alA.eval_and_query()
+            resA = alA.outcome()
+            if resA is not None:
+                break
+        # interrupted run: one round, checkpoint, new object, resume
+        optB = Opt(str(tmp_path / "b"), uncertainty="THC_L1",
+                   filter="Coreset", strategy="s")
+        alB1 = ActiveLearning(cfg, optB)
+        alB1.eval_and_query()
+        assert alB1.outcome() is None
+        ckpt = alB1.save_state(str(tmp_path / "state.pkl"))
+        del alB1
+        alB2 = ActiveLearning(cfg, optB).load_state(ckpt)
+        while True:
+            alB2.eval_and_query()
+            resB = alB2.outcome()
+            if resB is not None:
+                break
+        assert resA[3] == resB[3]          # identical query lists per round
+        assert resA[0] == resB[0]          # identical percentages

@@ -537,6 +537,57 @@ class ActiveLearning:
                 self.ae_vars = trainer.train(self.ae_vars,
                                              self.ae_features[labeled])
 
+    # ---------------------------------------------------------- checkpoint
+    _STATE_FIELDS = [
+        "round_cnt", "is_early_stop", "query_size", "moks_queried",
+        "percentage", "performance", "performance_ann", "ospa_list",
+        "ospa_list_ann", "combine_weight", "query_list_list",
+        "uncertainty_dict", "uncertainty_mean", "influence_dict",
+        "spearmanr_list", "corr_list", "true_labeled_dict",
+        "false_labeled_dict", "true_unlabeled_dict", "false_unlabeled_dict",
+        "moksQ_list", "actual_finish", "finished_minerror", "finished_oursc",
+        "retrain_epoch"]
+
+    def save_state(self, path=None):
+        """Checkpoint the full AL state (round bookkeeping + model +
+        optimizer + AE) so a crashed run resumes mid-video — a capability
+        the reference lacks (SURVEY §5.3: runs are atomic, crashes re-run
+        from scratch)."""
+        import pickle
+        path = path or os.path.join(self.work_dir, "al_state.pkl")
+        state = {k: getattr(self, k) for k in self._STATE_FIELDS}
+        state["labeled"] = self.labeled_id.index
+        state["unlabeled"] = self.unlabeled_id.index
+        state["retrain"] = self.retrain_id.index
+        state["variables"] = jax.tree.map(np.asarray, self.variables)
+        state["opt_state"] = jax.tree.map(np.asarray, self.opt_state)
+        state["epoch_counter"] = self.retrainer.epoch_counter
+        state["rng_state"] = self.rng.get_state()
+        state["retrainer_rng"] = self.retrainer.rng.bit_generator.state
+        if self.ae_vars is not None:
+            state["ae_vars"] = jax.tree.map(np.asarray, self.ae_vars)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        return path
+
+    def load_state(self, path):
+        import pickle
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        for k in self._STATE_FIELDS:
+            setattr(self, k, state[k])
+        self.labeled_id = IndexCollection(state["labeled"])
+        self.unlabeled_id = IndexCollection(state["unlabeled"])
+        self.retrain_id = IndexCollection(state["retrain"])
+        self.variables = jax.tree.map(jnp.asarray, state["variables"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.retrainer.epoch_counter = state["epoch_counter"]
+        self.rng.set_state(state["rng_state"])
+        self.retrainer.rng.bit_generator.state = state["retrainer_rng"]
+        if "ae_vars" in state and self.ae_vars is not None:
+            self.ae_vars = jax.tree.map(jnp.asarray, state["ae_vars"])
+        return self
+
     def _result(self):
         return (self.percentage, self.performance, self.performance_ann,
                 self.query_list_list, self.uncertainty_dict,

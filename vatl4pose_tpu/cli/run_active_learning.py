@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--synth_persons", type=int, default=3)
     p.add_argument("--synth_size", type=int, nargs=2, default=[320, 240],
                    metavar=("W", "H"))
+    p.add_argument("--checkpoint_state", action="store_true",
+                   help="checkpoint the AL state every round "
+                        "(work_dir/al_state.pkl)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume a half-done run from its al_state.pkl")
     return p.parse_args(argv)
 
 
@@ -149,6 +154,9 @@ def do_al(cfg, opt):
     from ..al.active_learning import ActiveLearning
     prepare_dataset_paths(cfg, opt)
     al = ActiveLearning(cfg, opt)
+    if getattr(opt, "resume", None):
+        al.load_state(opt.resume)
+        print(f"resumed from {opt.resume} at round {al.round_cnt}")
     t0 = time.time()
     cycles = 0
     while True:
@@ -157,6 +165,8 @@ def do_al(cfg, opt):
         result = al.outcome()
         cycles += 1
         print(f"[cycle {cycles}] wall {time.time() - tc:.2f}s", flush=True)
+        if getattr(opt, "checkpoint_state", False) and result is None:
+            al.save_state()
         if result is not None:
             print(f"Active learning finished! total {time.time() - t0:.1f}s")
             break
