@@ -136,3 +136,25 @@ class TestResume:
                 break
         assert resA[3] == resB[3]          # identical query lists per round
         assert resA[0] == resB[0]          # identical percentages
+
+
+class TestDeterminism:
+    def test_same_seed_identical_selections(self, synth, tmp_path):
+        """--seedfix reproducibility: two runs with the same seed produce
+        identical query lists, curves and stopping markers (the premise of
+        the selection-parity requirement, BASELINE.md)."""
+        root, ann = synth
+        results = []
+        for tag in ("r1", "r2"):
+            cfg = _cfg(root, ann)
+            opt = Opt(str(tmp_path / tag), uncertainty="THC+WPU",
+                      representativeness="Influence", filter="Coreset",
+                      strategy="THC+WPU+Influence_Coresetfilter")
+            _, res = run_loop(cfg, opt)
+            results.append(res)
+        a, b = results
+        assert a[3] == b[3]                      # query lists
+        assert a[0] == b[0]                      # percentages
+        assert a[14:17] == b[14:17]              # stopping markers
+        for pa, pb in zip(a[1], b[1]):           # mAP dicts per round
+            assert pa == pb
