@@ -58,10 +58,16 @@ def train(cfg, opt):
     variables = model_train.init(jax.random.PRNGKey(opt.seed),
                                  jnp.zeros((1, h, w, 3)))
     if cfg.MODEL.get("PRETRAINED"):
-        from ..models import convert_state_dict
-        from ..models.convert_torch import load_torch_checkpoint
-        variables = convert_state_dict(
-            load_torch_checkpoint(cfg.MODEL.PRETRAINED), cfg.MODEL.TYPE)
+        # torch .pth (MODEL.PRETRAINED parity, posetrack_train.py:221-229)
+        # or this framework's own pickled variable tree
+        if cfg.MODEL.PRETRAINED.endswith(".pkl"):
+            with open(cfg.MODEL.PRETRAINED, "rb") as f:
+                variables = pickle.load(f)
+        else:
+            from ..models import convert_state_dict
+            from ..models.convert_torch import load_torch_checkpoint
+            variables = convert_state_dict(
+                load_torch_checkpoint(cfg.MODEL.PRETRAINED), cfg.MODEL.TYPE)
 
     dataset = build_dataset(cfg.DATASET.TRAIN)
     frames = jax.device_put(dataset.load_frames())

@@ -26,11 +26,28 @@ _TEMPLATE = np.array([
 def make_synthetic_video(out_dir: str, num_frames: int = 8,
                          num_persons: int = 3, width: int = 320,
                          height: int = 240, seed: int = 166,
-                         video_id: str = "000001") -> Tuple[str, str]:
-    """Write frames + annotation json. Returns (root_dir, ann_relpath)."""
+                         video_id: str = "000001",
+                         img_format: str = "npy",
+                         layout: str = "flat") -> Tuple[str, str]:
+    """Write frames + annotation json. Returns (root_dir, ann_relpath).
+
+    img_format: "npy" (fast, test default) or "png" (lossless image files a
+    cv2.imread-based loader — e.g. the reference pipeline — can consume).
+    layout: "flat" puts frames under images/{video_id}/ and the json under
+    annotations/; "posetrack" mirrors the reference's on-disk scheme
+    (ActiveLearning.py:69-70): images/val/{video_id}_mpii_test/ frames and
+    activelearning/val/{video_id}_mpii_test.json, so the very same fixture
+    drives both this framework and the reference code in parity tests.
+    """
     rng = np.random.default_rng(seed)
-    img_dir = os.path.join(out_dir, "images", video_id)
-    ann_dir = os.path.join(out_dir, "annotations")
+    if layout == "posetrack":
+        img_rel = f"images/val/{video_id}_mpii_test"
+        ann_rel = f"activelearning/val/{video_id}_mpii_test.json"
+    else:
+        img_rel = f"images/{video_id}"
+        ann_rel = f"annotations/{video_id}.json"
+    img_dir = os.path.join(out_dir, img_rel)
+    ann_dir = os.path.dirname(os.path.join(out_dir, ann_rel))
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
@@ -48,7 +65,7 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
     for f in range(num_frames):
         img = (rng.uniform(0, 40, size=(height, width, 3))).astype(np.float32)
         image_id = 10000 + f
-        fname = f"images/{video_id}/{f:06d}.npy"
+        fname = f"{img_rel}/{f:06d}.{img_format}"
         for p in range(num_persons):
             xy = base_xy[p] + vel[p] * f
             w, h = sizes[p]
@@ -78,15 +95,19 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
                 "track_id": p,
             })
             ann_counter += 1
-        np.save(os.path.join(out_dir, fname), np.clip(img, 0, 255)
-                .astype(np.uint8))
+        img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+        if img_format == "npy":
+            np.save(os.path.join(out_dir, fname), img_u8)
+        else:
+            import cv2
+            cv2.imwrite(os.path.join(out_dir, fname),
+                        cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
         images.append({"id": image_id, "image_id": image_id,
                        "file_name": fname, "width": width, "height": height,
                        "vid_id": video_id, "frame_id": f})
     cats = [{"id": 1, "name": "person",
              "keypoints": [f"kp{i}" for i in range(17)], "skeleton": []}]
     ann = {"images": images, "annotations": annotations, "categories": cats}
-    ann_rel = f"annotations/{video_id}.json"
     with open(os.path.join(out_dir, ann_rel), "w") as fjson:
         json.dump(ann, fjson)
     return out_dir, ann_rel

@@ -80,6 +80,12 @@ def save_torch_checkpoint(path: str, variables, arch: str):
     import torch
     sd = {k: torch.tensor(v) for k, v in
           export_state_dict(variables, arch).items()}
+    # strict load_state_dict (ActiveLearning.py:217) also expects the BN
+    # step counters; zeros are correct for a fresh/converted checkpoint
+    for k in list(sd):
+        if k.endswith(".running_mean"):
+            sd[k[: -len("running_mean")] + "num_batches_tracked"] = \
+                torch.tensor(0, dtype=torch.int64)
     torch.save(sd, path)
     return path
 
