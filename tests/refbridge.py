@@ -346,7 +346,26 @@ def install():
             sys.path.insert(0, p)
     _install_stub_modules()
     _install_torch_patches()
+    _fix_collate_index_type()
     _installed = True
+
+
+def _fix_collate_index_type():
+    """Reference bug shim: my_collate_fn returns `idx` as a tuple
+    (posetrack21.py:216 zip), but eval_and_query uses it as a numpy fancy
+    index (`fvecs_matrix[idxs] = fvecs`, ActiveLearning.py:286) — numpy
+    rejects tuple indices ("too many indices"), so the shipped Influence /
+    filter paths crash.  Converting to an ndarray of the same ints realizes
+    the evident intent without changing any value."""
+    from alphapose.datasets import posetrack21 as _pt21
+
+    orig = _pt21.Posetrack21.my_collate_fn
+
+    def collate_fixed(self, batch):
+        out = orig(self, batch)
+        return (np.asarray(out[0]),) + tuple(out[1:])
+
+    _pt21.Posetrack21.my_collate_fn = collate_fixed
 
 
 # --------------------------------------------------------------------------

@@ -158,3 +158,35 @@ class TestDeterminism:
         assert a[14:17] == b[14:17]              # stopping markers
         for pa, pb in zip(a[1], b[1]):           # mAP dicts per round
             assert pa == pb
+
+
+class TestRoundMetricsAndVis:
+    def test_spearman_corr_populated_and_artifacts(self, synth, tmp_path):
+        """Per-round Spearman/Pearson land in the result tuple (reference
+        schema fields 8/9 — its own computation ships disabled,
+        ActiveLearning.py:430) and the --vis_thc/--vis_wpu/cluster artifact
+        dumps appear."""
+        root, ann = synth
+        cfg = _cfg(root, ann)
+        opt = Opt(str(tmp_path), uncertainty="THC+WPU",
+                  representativeness="Influence", filter="Coreset",
+                  strategy="THC+WPU+Influence_Coresetfilter")
+        opt.vis = True
+        opt.vis_thc = True
+        opt.vis_wpu = True
+        al, result = run_loop(cfg, opt)
+        spearman, corr = result[8], result[9]
+        # one entry per eval round (2 query rounds + final eval)
+        assert len(spearman) == len(corr) == len(result[0])
+        assert all(np.isfinite(v) for v in spearman)
+        assert all(np.isfinite(v) for v in corr)
+        assert all(-1.0 <= v <= 1.0 for v in spearman)
+        # artifacts: THC heatmap grids (samples with both neighbors), WPU
+        # scatter (all samples), cluster plot (Coreset filter under --vis)
+        thc_dir = os.path.join(str(tmp_path), "vis_thc", "Round0")
+        wpu_dir = os.path.join(str(tmp_path), "vis_wpu", "Round0")
+        cl_dir = os.path.join(str(tmp_path), "cluster")
+        n_mid = int(np.sum(al.data.is_prev & al.data.is_next))
+        assert len(os.listdir(thc_dir)) == n_mid
+        assert len(os.listdir(wpu_dir)) == al.eval_len
+        assert any(f.startswith("Coreset_round") for f in os.listdir(cl_dir))

@@ -158,3 +158,66 @@ class TestAccuracy:
 
         np.testing.assert_allclose(calc_accuracy(preds, labels),
                                    ref_acc(preds, labels), rtol=1e-6)
+
+
+class TestRetrainBatchNormSafety:
+    def test_tiny_retrain_set_does_not_poison_batch_stats(self, tmp_path):
+        """Regression: retraining 2 samples at BATCH_SIZE 32 must not wreck
+        eval-mode behavior.  Zero-row padding used to flow into BatchNorm's
+        batch statistics (97% zero images -> running stats collapse -> the
+        all-zero AP columns in every round-1 exp/ run); cycle-padding keeps
+        the batch mean/var identical to the unpadded batch."""
+        import jax
+        import jax.numpy as jnp
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.pipeline import AugCfg
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        from vatl4pose_tpu.models import build_sppe
+        from vatl4pose_tpu.train.retrain import Retrainer
+
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=4,
+                                         num_persons=2, width=160,
+                                         height=128)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann, "IMG_PREFIX": ""}))
+        preset = Cfg({"IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16],
+                      "SIGMA": 2, "NUM_JOINTS": 17, "TYPE": "simple"})
+        mcfg = Cfg({"TYPE": "SimplePose", "NUM_DECONV_FILTERS": [64, 64, 64],
+                    "NUM_LAYERS": 18})
+        model_t = build_sppe(mcfg, preset, train=True)
+        model_e = build_sppe(mcfg, preset, train=False)
+        variables = model_t.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+        trainer = Retrainer(model_t, {"OPTIMIZER": "AdamW", "LR": 2.5e-4,
+                                      "LR_GAMMA": 0.99, "BATCH_SIZE": 32,
+                                      "WEIGHT_DECAY": 0.7},
+                            "SimplePose", input_size=(64, 64),
+                            hm_size=(16, 16), sigma=2.0,
+                            aug=AugCfg(scale_factor=0.0, rot_factor=0,
+                                       flip=False), joint_pairs=[])
+        opt_state = trainer.init_opt_state(variables["params"])
+        frames = jax.device_put(ds.load_frames())
+        variables, opt_state, loss, acc = trainer.retrain(
+            variables, opt_state, ds.data, frames, np.array([0, 1]), 5,
+            (ds.data.width, ds.data.height))
+        # eval-mode forward must stay finite and in heatmap range; with
+        # zero-padding the running stats collapsed and outputs blew up
+        stats = variables["batch_stats"]
+        leaves = jax.tree.leaves(stats)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # batch stats must reflect real-image statistics: the stem conv's
+        # running mean must have moved away from init (0) but stay bounded
+        from vatl4pose_tpu.al.scoring import ScoringConfig, ScoringEngine
+        engine = ScoringEngine(model_e, ScoringConfig(
+            uncertainty="None", need_embedding=False, input_size=(64, 64)))
+        d = ds.data
+        bbox_ann = np.stack([d.bboxes[:, 0], d.bboxes[:, 1],
+                             d.bboxes[:, 2] - d.bboxes[:, 0],
+                             d.bboxes[:, 3] - d.bboxes[:, 1]], 1)
+        res = engine.score(variables, frames, d.frame_idx, d.bboxes,
+                           d.gt_keypoints, bbox_ann, d.is_prev, d.is_next,
+                           keep_heatmaps=True)
+        hm = np.asarray(res["heatmaps"])
+        assert np.isfinite(hm).all()
+        assert np.abs(hm).max() < 10.0, np.abs(hm).max()

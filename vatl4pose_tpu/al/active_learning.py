@@ -61,8 +61,21 @@ class ActiveLearning:
         self.dataset = build_dataset(cfg.DATASET.EVAL)
         self.data = self.dataset.data
         self.eval_len = len(self.data)
-        frames = self.dataset.load_frames()
-        self.frames_dev = jax.device_put(frames)
+        # whole-video device residency is the fast path; videos whose
+        # decoded frames exceed the HBM budget (JRDB stitched scenes) keep
+        # frames in host RAM and score through the chunked streaming path
+        budget = float(cfg.VAL.get("HBM_FRAME_BUDGET_GB", 4.0)) * (1 << 30)
+        store = self.dataset.frame_store()
+        self.streaming = store.total_bytes > budget
+        if self.streaming:
+            self.frame_store = store
+            self.frames_dev = None
+            self._log(f"[streaming] frames {store.total_bytes / 2**30:.2f} "
+                      f"GiB > budget — host-RAM frame store + chunked "
+                      f"scoring")
+        else:
+            self.frame_store = None
+            self.frames_dev = jax.device_put(self.dataset.load_frames())
         self.img_wh = (self.data.width, self.data.height)
         self.eval_joints = tuple(self.dataset.EVAL_JOINTS)
 
@@ -168,6 +181,14 @@ class ActiveLearning:
             chunk=min(256, max(32, self.eval_len)))
         self._log(f"[[AL strategy: {self.strategy}]] video {self.video_id} "
                   f"N={self.eval_len} model={cfg.MODEL.TYPE}")
+        if getattr(opt, "verbose", False):
+            # dataset smoke info (test_dataset, ActiveLearning.py:688-691)
+            assert self.eval_len >= 1
+            self._log(f"[verbose] sample 0: frame={int(self.data.frame_idx[0])}"
+                      f" ann_id={int(self.data.ann_ids[0])}"
+                      f" bbox={self.data.bboxes[0].tolist()}"
+                      f" prev/next={bool(self.data.is_prev[0])}/"
+                      f"{bool(self.data.is_next[0])}")
 
     # ------------------------------------------------------------------ utils
     def _log(self, msg):
@@ -228,12 +249,21 @@ class ActiveLearning:
             eval_vars = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, self.variables)
+        keep_hms = bool(getattr(self.opt, "vis", False)
+                        or getattr(self.opt, "vis_thc", False))
         with self.timer.phase("score"):
-            res = self.engine.score(
-                eval_vars, self.frames_dev, d.frame_idx, d.bboxes,
-                d.gt_keypoints, bbox_ann_xywh,
-                d.is_prev, d.is_next, ae_variables=self.ae_vars,
-                aux_variables=self.aux_vars)
+            if self.streaming:
+                res = self.engine.score_streaming(
+                    eval_vars, self.frame_store, d.frame_idx, d.bboxes,
+                    d.gt_keypoints, bbox_ann_xywh, d.is_prev, d.is_next,
+                    ae_variables=self.ae_vars, aux_variables=self.aux_vars,
+                    keep_heatmaps=keep_hms)
+            else:
+                res = self.engine.score(
+                    eval_vars, self.frames_dev, d.frame_idx, d.bboxes,
+                    d.gt_keypoints, bbox_ann_xywh,
+                    d.is_prev, d.is_next, ae_variables=self.ae_vars,
+                    aux_variables=self.aux_vars, keep_heatmaps=keep_hms)
 
         kpts = res["kpts"].astype(np.float64)          # (N, 51)
         oks = res["oks"].astype(np.float64)
@@ -316,6 +346,56 @@ class ActiveLearning:
         # THC+WPU) — ActiveLearning.py:400-402
         self.uncertainty_mean.append(float(unc.sum()) / self.eval_len)
 
+        # per-round criterion-quality correlations vs OKS.  The reference
+        # defines this at ActiveLearning.py:430-436 but ships it disabled
+        # (`if ... and False:`), leaving the result-schema fields empty; we
+        # compute them live.  For the two-criterion THC+WPU case the scalar
+        # is computed on the fused normalized criterion — the quantity
+        # selection actually consumes (the reference's dead code would feed
+        # an (N, 2) array into scipy.spearmanr, which is not a
+        # per-criterion correlation).
+        if self.uncertainty != "None":
+            from .al_metric import compute_corr, compute_spearmanr
+            if thcwpu:
+                fused = minmax(unc) + minmax(unc2)
+                corr_dict = {int(i): float(fused[i])
+                             for i in range(self.eval_len)}
+            else:
+                corr_dict = {int(i): float(unc[i])
+                             for i in range(self.eval_len)}
+            self.spearmanr_list.append(compute_spearmanr(corr_dict,
+                                                         oks_dict))
+            self.corr_list.append(compute_corr(corr_dict, oks_dict))
+            self._log(f"[Evaluation] Spearmanr: {self.spearmanr_list[-1]:.3f}"
+                      f", Correlation: {self.corr_list[-1]:.3f}")
+
+        # criteria visualizations (ActiveLearning.py:360-363 vis_thc,
+        # :383-385 vis_wpu): per-sample artifact dumps under work_dir
+        if getattr(self.opt, "vis_thc", False) and "THC" in self.uncertainty:
+            from ..utils.vis import visualize_thc
+            thc_dir = os.path.join(self.work_dir, "vis_thc",
+                                   f"Round{self.round_cnt}")
+            hms_np = np.asarray(res["heatmaps"])[:, list(self.eval_joints)]
+            for j in range(self.eval_len):
+                # reference visualizes samples with both neighbors present
+                if d.is_prev[j] and d.is_next[j]:
+                    visualize_thc(thc_dir, int(d.ann_ids[j]), hms_np[j - 1],
+                                  hms_np[j], hms_np[j + 1], float(unc[j]))
+        if getattr(self.opt, "vis_wpu", False) and "WPU" in self.uncertainty:
+            from ..ops import bbox_xyxy_to_xywh
+            from ..utils.vis import visualize_wpu
+            wpu_dir = os.path.join(self.work_dir, "vis_wpu",
+                                   f"Round{self.round_cnt}")
+            feats = np.asarray(compute_hybrid(
+                bbox_xyxy_to_xywh(jnp.asarray(res["bbox_crop"])),
+                jnp.asarray(kpts, jnp.float32)))
+            recon = np.asarray(self.ae_model.apply(self.ae_vars,
+                                                   jnp.asarray(feats)))
+            wpu_vals = unc2 if thcwpu else unc
+            for j in range(self.eval_len):
+                visualize_wpu(wpu_dir, int(d.ann_ids[j]), feats[j], recon[j],
+                              float(wpu_vals[j]))
+
         combine_weight = float(gc[unlabeled_idx].sum()) if unlabeled_idx else 0.0
 
         # ---- influence -------------------------------------------------------
@@ -374,6 +454,19 @@ class ActiveLearning:
             query_list = self._apply_filter(candidate_list, total_score,
                                             res.get("embeddings"),
                                             combine_weight, unlabeled_idx)
+
+        # cluster / coreset selection plots (pltcluster_and_save /
+        # pltcoreset_and_save, ActiveLearning.py:551-617 — gated there on a
+        # hardcoded-False plot_cluster; exposed here under --vis)
+        if (getattr(self.opt, "vis", False)
+                and self.filter in ("Coreset", "K-Means", "weighted")
+                and res.get("embeddings") is not None
+                and res["embeddings"].shape[1] > 1 and len(query_list)):
+            from ..utils.vis import plot_embedding_selection
+            plot_embedding_selection(
+                os.path.join(self.work_dir, "cluster"), res["embeddings"],
+                query_list, f"{self.filter}_round{self.round_cnt}",
+                weight=np.asarray(total_score) if len(total_score) else None)
 
         # ---- tl/tu/fl/fu ------------------------------------------------------
         thresh = self.finish_acc + self.finish_margin
@@ -476,6 +569,13 @@ class ActiveLearning:
 
     # --------------------------------------------------------------- outcome
     def outcome(self):
+        # --stopping: terminate once "our SC" (all labeled∪queried OKS ≥ τ)
+        # has fired.  The reference parses the flag but never consults it
+        # (its StoppingCriteria object is dead code, SURVEY.md §2.4); here
+        # it gives the paper's stopping criterion a live switch.  Off by
+        # default, so parity runs are unaffected.
+        if getattr(self.opt, "stopping", False) and self.finished_oursc < 100:
+            self.is_early_stop = True
         if self.is_early_stop or self.one_by_one:
             while len(self.performance) <= len(self.query_ratio):
                 self.round_cnt += 1
@@ -522,10 +622,25 @@ class ActiveLearning:
 
     def _retrain_model(self):
         if self.retrain_epoch > 0 and len(self.retrain_id.index) > 0:
-            self.variables, self.opt_state, loss, acc = self.retrainer.retrain(
-                self.variables, self.opt_state, self.data, self.frames_dev,
-                self.retrain_id.index, self.retrain_epoch, self.img_wh,
-                log=self._log)
+            if self.streaming:
+                from ..data.stream import CropStreamer
+                streamer = CropStreamer(
+                    self.data, self.frame_store,
+                    tuple(self.cfg.DATA_PRESET.IMAGE_SIZE),
+                    self.retrainer.aug, self.retrainer.joint_pairs,
+                    self.retrainer.batch_size,
+                    seed=getattr(self.opt, "seed", 166) or 166)
+                self.variables, self.opt_state, loss, acc = \
+                    self.retrainer.retrain_streaming(
+                        self.variables, self.opt_state, streamer,
+                        self.retrain_id.index, self.retrain_epoch,
+                        log=self._log)
+            else:
+                self.variables, self.opt_state, loss, acc = \
+                    self.retrainer.retrain(
+                        self.variables, self.opt_state, self.data,
+                        self.frames_dev, self.retrain_id.index,
+                        self.retrain_epoch, self.img_wh, log=self._log)
         if self.ae_model is not None:
             # re-init from pretrained + fine-tune on labeled GT features
             # (ActiveLearning.py:681-685, 905-925)

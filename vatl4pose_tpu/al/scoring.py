@@ -57,6 +57,7 @@ class ScoringEngine:
         self.aux_model = aux_model
         self.chunk = chunk
         self._fwd = jax.jit(self._forward_chunk)
+        self._fwd_crops = jax.jit(self._forward_chunk_crops)
         self._score = jax.jit(self._score_video)
 
     # ---- stage 1: heatmaps + embeddings ----------------------------------
@@ -64,6 +65,18 @@ class ScoringEngine:
                        aux_variables=None):
         crops, bbox_crop = crop_batch(frames.astype(jnp.float32), frame_idx,
                                       bboxes, self.cfg.input_size)
+        return self._model_outputs(variables, crops, aux_variables) \
+            + (bbox_crop,)
+
+    def _forward_chunk_crops(self, variables, crops_u8, aux_variables=None):
+        """Streaming stage 1: host-warped uint8 crops in (frames stay in
+        host RAM — the HBM path for JRDB-scale videos and mixed-resolution
+        sets)."""
+        from ..ops.warp import RGB_MEAN
+        crops = crops_u8.astype(jnp.float32) / 255.0 - jnp.asarray(RGB_MEAN)
+        return self._model_outputs(variables, crops, aux_variables)
+
+    def _model_outputs(self, variables, crops, aux_variables=None):
         if self.cfg.bf16:
             crops = crops.astype(jnp.bfloat16)
         aux_params = jnp.zeros((crops.shape[0], 1, 2), jnp.float32)
@@ -84,7 +97,7 @@ class ScoringEngine:
         # NHWC -> NKHW; scoring numerics always run in f32
         hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
         emb = emb.astype(jnp.float32)
-        return hm, emb, bbox_crop, aux_params
+        return hm, emb, aux_params
 
     def forward_video(self, variables, frames_dev, frame_idx, bboxes,
                       aux_variables=None):
@@ -96,7 +109,7 @@ class ScoringEngine:
             e = min(s + self.chunk, n)
             fi = pad_to(np.asarray(frame_idx[s:e]), self.chunk)
             bb = pad_to(np.asarray(bboxes[s:e]), self.chunk)
-            hm, emb, bc, ap = self._fwd(variables, frames_dev, fi, bb,
+            hm, emb, ap, bc = self._fwd(variables, frames_dev, fi, bb,
                                         aux_variables)
             hms.append(hm[: e - s])
             embs.append(emb[: e - s])
@@ -157,9 +170,102 @@ class ScoringEngine:
         return jnp.mean(jnp.square(recon - feat), axis=-1)
 
     # ---- public API -------------------------------------------------------
+    def score_streaming(self, variables, frame_store, frame_idx, bboxes,
+                        gt_kpts, bbox_ann_xywh, is_prev, is_next,
+                        ae_variables=None, aux_variables=None,
+                        keep_heatmaps: bool = False, warp_mode: int = 1
+                        ) -> Dict[str, np.ndarray]:
+        """HBM-bounded scoring: frames stay in host RAM (data/stream
+        .FrameStore), stage 1 consumes host-warped crops chunk by chunk, and
+        stage 2 runs per chunk with a ±1-row halo — THC/TPC neighbors are a
+        shifted gather along the track-sorted axis (ops/temporal.py), so one
+        halo row on each side reproduces the whole-video result exactly.
+        Device memory is O(chunk), independent of video length — the path
+        for JRDB stitched scenes (SURVEY §2.2, jrdb2022.py:13-236).
+        """
+        from ..data.pipeline import eval_sample_geometry
+        from ..data.stream import warp_crops_host
+
+        cfg = self.cfg
+        n = int(np.asarray(bboxes).shape[0])
+        c = self.chunk
+        inv_mats, bbox_crop, fwd_mats = eval_sample_geometry(
+            np.asarray(bboxes), cfg.input_size, want_fwd=True)
+        frame_idx = np.asarray(frame_idx)
+        is_prev = np.asarray(is_prev)
+        is_next = np.asarray(is_next)
+        bb_ann = np.asarray(bbox_ann_xywh, np.float32)
+        gt = np.asarray(gt_kpts, np.float32)
+        ae_vars = ae_variables if ae_variables is not None else {"params": {}}
+
+        def halo_host(a, s, e, pad_value=0.0):
+            """(e-s, ...) chunk rows → (c+2, ...): one prepended halo slot,
+            then the chunk, padded out — row j ↔ sample s+j-1."""
+            a = np.asarray(a)
+            out = np.full((c + 2,) + a.shape[1:], pad_value, a.dtype)
+            out[1:1 + (e - s)] = a
+            return out
+
+        out_host: Dict[str, list] = {}
+        embs, hms_kept = [], []
+        # stage-1/stage-2 software pipeline with a one-chunk delay: chunk i
+        # is scored once chunk i+1's first row (its next-halo heatmap)
+        # exists; only two chunks of heatmaps are ever live on device.
+        pending = None        # (s, e, hm_chunk, aux_chunk)
+        prev_tail = None      # last heatmap row of the previous chunk
+
+        def run_stage2(s, e, hm_chunk, aux_chunk, next_head):
+            nonlocal prev_tail
+            tail = prev_tail if prev_tail is not None \
+                else jnp.zeros_like(hm_chunk[:1])
+            head = next_head if next_head is not None \
+                else jnp.zeros_like(hm_chunk[:1])
+            halo = jnp.concatenate([tail, hm_chunk, head])
+            halo = jnp.pad(halo, ((0, c + 2 - int(halo.shape[0])),
+                                  (0, 0), (0, 0), (0, 0)))
+            aux_halo = jnp.asarray(halo_host(np.asarray(aux_chunk), s, e))
+            res = self._score(
+                halo,
+                jnp.asarray(halo_host(bbox_crop[s:e], s, e, pad_value=1.0)),
+                jnp.asarray(halo_host(gt[s:e], s, e)),
+                jnp.asarray(halo_host(bb_ann[s:e], s, e, pad_value=1.0)),
+                jnp.asarray(halo_host(is_prev[s:e], s, e, pad_value=False)),
+                jnp.asarray(halo_host(is_next[s:e], s, e, pad_value=False)),
+                ae_vars, aux_halo)
+            for k, v in res.items():
+                out_host.setdefault(k, []).append(
+                    np.asarray(v)[1:1 + (e - s)])
+            prev_tail = hm_chunk[-1:]
+
+        for s in range(0, n, c):
+            e = min(s + c, n)
+            crops = warp_crops_host(frame_store, frame_idx[s:e],
+                                    fwd_mats[s:e], cfg.input_size,
+                                    mode=warp_mode)
+            hm, emb, ap = self._fwd_crops(variables,
+                                          jnp.asarray(pad_to(crops, c)),
+                                          aux_variables)
+            hm, ap = hm[: e - s], ap[: e - s]
+            embs.append(np.asarray(emb[: e - s]))
+            if keep_heatmaps:
+                hms_kept.append(np.asarray(hm))
+            if pending is not None:
+                run_stage2(*pending, next_head=hm[:1])
+            pending = (s, e, hm, ap)
+        if pending is not None:
+            run_stage2(*pending, next_head=None)
+
+        res = {k: np.concatenate(v)[:n] for k, v in out_host.items()}
+        res["embeddings"] = np.concatenate(embs)[:n]
+        res["bbox_crop"] = bbox_crop[:n]
+        if keep_heatmaps:
+            res["heatmaps"] = np.concatenate(hms_kept)[:n]
+        return res
+
     def score(self, variables, frames_dev, frame_idx, bboxes, gt_kpts,
               bbox_ann_xywh, is_prev, is_next, ae_variables=None,
-              aux_variables=None) -> Dict[str, np.ndarray]:
+              aux_variables=None,
+              keep_heatmaps: bool = True) -> Dict[str, np.ndarray]:
         n = bboxes.shape[0]
         hms, embs, bbox_crop, aux_params = self.forward_video(
             variables, frames_dev, frame_idx, bboxes, aux_variables)
@@ -192,5 +298,8 @@ class ScoringEngine:
         res = {k: np.asarray(v)[:n] for k, v in out.items()}
         res["embeddings"] = np.asarray(embs)
         res["bbox_crop"] = np.asarray(bbox_crop)
-        res["heatmaps"] = hms[:n]
+        if keep_heatmaps:
+            # only the --vis/--vis_thc paths read these; dropping them frees
+            # the (N, K, h, w) block for HBM-tight videos
+            res["heatmaps"] = hms[:n]
         return res

@@ -24,7 +24,14 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=123123)
     p.add_argument("--snapshot", type=int, default=2)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synth_videos", type=int, default=1,
+                   help="with --synthetic: number of videos in the combined "
+                        "training annotation (mixed resolutions)")
     p.add_argument("--epochs_override", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="host-RAM frames + prefetched native-warp crops "
+                        "(forced automatically for mixed-resolution "
+                        "annotation files)")
     # distributed-launch surface (parity: alphapose/opt.py:28-39); the
     # TPU-native backend is jax.distributed (parallel/mesh.init_multihost)
     p.add_argument("--rank", type=int, default=-1)
@@ -70,7 +77,18 @@ def train(cfg, opt):
                 load_torch_checkpoint(cfg.MODEL.PRETRAINED), cfg.MODEL.TYPE)
 
     dataset = build_dataset(cfg.DATASET.TRAIN)
-    frames = jax.device_put(dataset.load_frames())
+    # combined pre-training jsons span videos of different resolutions —
+    # those (or --stream) take the host-crop streaming path
+    # (data/stream.py); single-video sets stay device-resident
+    use_stream = bool(getattr(opt, "stream", False)) or \
+        dataset.data.mixed_sizes
+    if use_stream:
+        store = dataset.frame_store()
+        frames = None
+        print(f"[stream] {len(store)} frames, "
+              f"{store.total_bytes / 2**20:.1f} MiB host-resident")
+    else:
+        frames = jax.device_put(dataset.load_frames())
     aug = cfg.DATASET.TRAIN.get("AUG", {})
     # reuse the retrainer machinery with the TRAIN optimizer section
     retrain_cfg = {
@@ -91,6 +109,12 @@ def train(cfg, opt):
                                    prob_half_body=aug.get("PROB_HALF_BODY",
                                                           -1)),
                         joint_pairs=dataset.joint_pairs, seed=opt.seed)
+    streamer = None
+    if use_stream:
+        from ..data.stream import CropStreamer
+        streamer = CropStreamer(dataset.data, store, (h, w), trainer.aug,
+                                dataset.joint_pairs, cfg.TRAIN.BATCH_SIZE,
+                                seed=opt.seed)
     opt_state = trainer.init_opt_state(variables["params"])
     lr_fn = multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.LR_STEP,
                          cfg.TRAIN.get("LR_FACTOR", 0.1))
@@ -111,16 +135,21 @@ def train(cfg, opt):
         trainer.base_lr = lr_fn(epoch)
         trainer.gamma = 1.0
         trainer.epoch_counter = 0
-        variables, opt_state, loss, acc = trainer.retrain(
-            variables, opt_state, dataset.data, frames, idx_all, 1,
-            (dataset.data.width, dataset.data.height))
+        if use_stream:
+            variables, opt_state, loss, acc = trainer.retrain_streaming(
+                variables, opt_state, streamer, idx_all, 1)
+        else:
+            variables, opt_state, loss, acc = trainer.retrain(
+                variables, opt_state, dataset.data, frames, idx_all, 1,
+                (dataset.data.width, dataset.data.height))
         print(f"epoch {epoch} | loss {loss:.6f} | acc {acc:.4f} "
               f"| lr {trainer.base_lr:.2e}", flush=True)
         if (epoch + 1) % opt.snapshot == 0 or epoch == end - 1:
             path = os.path.join(opt.work_dir, f"model_{epoch}.pkl")
             with open(path, "wb") as f:
                 pickle.dump(jax.tree.map(np.asarray, variables), f)
-            ap = validate_gt(cfg, variables, model_eval, dataset, frames)
+            ap = validate_gt(cfg, variables, model_eval, dataset, frames,
+                             store=store if use_stream else None)
             print(f"epoch {epoch} | validate AP {ap:.4f}", flush=True)
             if ap > best_ap:
                 best_ap = ap
@@ -130,8 +159,9 @@ def train(cfg, opt):
     return variables
 
 
-def validate_gt(cfg, variables, model_eval, dataset, frames):
-    """GT-box validation mAP (posetrack_train.py:89-133)."""
+def validate_gt(cfg, variables, model_eval, dataset, frames, store=None):
+    """GT-box validation mAP (posetrack_train.py:89-133).  `frames` is the
+    device-resident stack, or None with a host `store` (streaming mode)."""
     import jax
     from ..al.scoring import ScoringConfig, ScoringEngine
     from ..eval.cocoeval import evaluate_map
@@ -143,8 +173,14 @@ def validate_gt(cfg, variables, model_eval, dataset, frames):
     bbox_ann = np.stack([d.bboxes[:, 0], d.bboxes[:, 1],
                          d.bboxes[:, 2] - d.bboxes[:, 0],
                          d.bboxes[:, 3] - d.bboxes[:, 1]], 1)
-    res = engine.score(variables, frames, d.frame_idx, d.bboxes,
-                       d.gt_keypoints, bbox_ann, d.is_prev, d.is_next)
+    if frames is None:
+        res = engine.score_streaming(
+            variables, store, d.frame_idx, d.bboxes, d.gt_keypoints,
+            bbox_ann, d.is_prev, d.is_next, keep_heatmaps=False)
+    else:
+        res = engine.score(variables, frames, d.frame_idx, d.bboxes,
+                           d.gt_keypoints, bbox_ann, d.is_prev, d.is_next,
+                           keep_heatmaps=False)
     kpt_json, gt_json = [], []
     for j in range(len(d)):
         e = {"bbox": bbox_ann[j].tolist(), "image_id": int(d.img_ids[j]),
@@ -169,9 +205,15 @@ def main(argv=None):
     np.random.seed(opt.seed)
     if opt.synthetic:
         import tempfile
-        from ..data.synthetic import make_synthetic_video
+        from ..data.synthetic import (make_synthetic_multivideo,
+                                      make_synthetic_video)
         root = tempfile.mkdtemp(prefix="vatl_pretrain_")
-        _, ann = make_synthetic_video(root, num_frames=6, seed=opt.seed)
+        if opt.synth_videos > 1:
+            _, ann = make_synthetic_multivideo(
+                root, num_videos=opt.synth_videos, num_frames=8,
+                num_persons=3, seed=opt.seed, appearance_jitter=True)
+        else:
+            _, ann = make_synthetic_video(root, num_frames=6, seed=opt.seed)
         cfg.DATASET.TRAIN.ROOT = root
         cfg.DATASET.TRAIN.ANN = ann
     train(cfg, opt)

@@ -54,6 +54,15 @@ def parse_args(argv=None):
                         "PoseTrack21/JRDB from disk")
     p.add_argument("--synth_frames", type=int, default=8)
     p.add_argument("--synth_persons", type=int, default=3)
+    p.add_argument("--synth_seed", type=int, default=None,
+                   help="seed for the generated video (defaults to the run "
+                        "seed; set differently to emulate adapting a "
+                        "pretrained estimator to an unseen video)")
+    p.add_argument("--synth_shift", type=float, nargs=4, default=None,
+                   metavar=("CH", "SIGMA", "AMP", "BG"),
+                   help="appearance shift (channel_shift, blob_sigma, "
+                        "blob_amp, bg_level) for the generated video — a "
+                        "domain gap vs the pre-training fixture")
     p.add_argument("--synth_size", type=int, nargs=2, default=[320, 240],
                    metavar=("W", "H"))
     p.add_argument("--checkpoint_state", action="store_true",
@@ -109,10 +118,17 @@ def prepare_synthetic(cfg, opt):
     import tempfile
     from ..data.synthetic import make_synthetic_video
     root = tempfile.mkdtemp(prefix="vatl_synth_")
+    seed = opt.synth_seed if getattr(opt, "synth_seed", None) is not None \
+        else (opt.seed or 166)
+    extra = {}
+    if getattr(opt, "synth_shift", None):
+        ch, sig, amp, bg = opt.synth_shift
+        extra = dict(channel_shift=int(ch), blob_sigma=sig, blob_amp=amp,
+                     bg_level=bg)
     _, ann = make_synthetic_video(
-        root, video_id=opt.video_id, seed=opt.seed or 166,
+        root, video_id=opt.video_id, seed=seed,
         num_frames=opt.synth_frames, num_persons=opt.synth_persons,
-        width=opt.synth_size[0], height=opt.synth_size[1])
+        width=opt.synth_size[0], height=opt.synth_size[1], **extra)
     for split in ("EVAL", "TRAIN"):
         cfg.DATASET[split].ROOT = root
         cfg.DATASET[split].ANN = ann
@@ -235,9 +251,6 @@ def main(argv=None):
     opt = parse_args(argv)
     opt = setup_opt(opt)
     cfg = update_config(opt.cfg)
-    if opt.vis:
-        cfg.RETRAIN.BASE = 0
-        cfg.RETRAIN.ALPHA = 0
     opt = set_dir(cfg, opt)
     if opt.synthetic:
         cfg = prepare_synthetic(cfg, opt)

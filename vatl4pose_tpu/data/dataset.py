@@ -33,6 +33,14 @@ UPPER_BODY_IDS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 LOWER_BODY_IDS = (11, 12, 13, 14, 15, 16)
 
 
+def decode_frame(path: str) -> np.ndarray:
+    """Decode one frame → (H, W, 3) uint8 RGB."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    import cv2
+    return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+
 def bbox_clip_xyxy(xyxy, width, height):
     """Clip to image bounds (parity: alphapose/utils/bbox.py bbox_clip_xyxy)."""
     x1 = np.minimum(width - 1, np.maximum(0, xyxy[0]))
@@ -64,11 +72,23 @@ class VideoPoseData:
     joints_vis: np.ndarray           # (N, K) 0/1 visibility (min(1, v))
     is_prev: np.ndarray              # (N,) neighbor-validity flags
     is_next: np.ndarray
-    width: int
-    height: int
+    width: int                       # first frame's size (uniform within a
+    height: int                      # single video; see frame_sizes)
+    frame_sizes: np.ndarray = None   # (F, 2) per unique frame (w, h) —
+                                     # varies across videos in a combined
+                                     # pre-training annotation file
 
     def __len__(self):
         return len(self.paths)
+
+    @property
+    def mixed_sizes(self) -> bool:
+        return (self.frame_sizes is not None
+                and len(np.unique(self.frame_sizes, axis=0)) > 1)
+
+    def item_img_wh(self) -> np.ndarray:
+        """(N, 2) image (w, h) per item."""
+        return self.frame_sizes[self.frame_idx]
 
 
 class VideoPoseDataset:
@@ -111,12 +131,14 @@ class VideoPoseDataset:
 
         n = len(entries)
         frame_paths: List[str] = []
+        frame_sizes: List[List[int]] = []
         frame_of: Dict[str, int] = {}
         frame_idx = np.zeros(n, np.int32)
         for i, e in enumerate(entries):
             if e["path"] not in frame_of:
                 frame_of[e["path"]] = len(frame_paths)
                 frame_paths.append(e["path"])
+                frame_sizes.append([e["img_w"], e["img_h"]])
             frame_idx[i] = frame_of[e["path"]]
 
         track_keys = [e["track_key"] for e in entries]
@@ -144,8 +166,9 @@ class VideoPoseDataset:
             joints_vis=np.stack([e["joints_vis"] for e in entries]),
             is_prev=is_prev,
             is_next=is_next,
-            width=width or 0,
-            height=height or 0,
+            width=int(frame_sizes[0][0]) if frame_sizes else 0,
+            height=int(frame_sizes[0][1]) if frame_sizes else 0,
+            frame_sizes=np.asarray(frame_sizes, np.int32).reshape(-1, 2),
         )
 
     def _parse_obj(self, obj, frame, width, height):
@@ -168,6 +191,8 @@ class VideoPoseDataset:
         track_key = str(frame.get("vid_id", "")) + str(obj.get("track_id", ""))
         return {
             "bbox": xyxy,
+            "img_w": width,
+            "img_h": height,
             "raw_bbox": np.asarray(obj["bbox"], np.float32),
             "joints_xy": joints_xy,
             "joints_vis": joints_vis,
@@ -180,18 +205,26 @@ class VideoPoseDataset:
 
     # -- frame IO ----------------------------------------------------------
     def load_frames(self) -> np.ndarray:
-        """Decode every unique frame once → (F, H, W, 3) uint8 RGB."""
-        import cv2
-        frames = []
-        for p in self.data.frame_paths:
-            if p.endswith(".npy"):
-                img = np.load(p)
-            else:
-                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            frames.append(img)
+        """Decode every unique frame once → (F, H, W, 3) uint8 RGB.
+
+        Device-resident fast path for a single video (uniform frame size).
+        Mixed-resolution annotation files (combined pre-training jsons) and
+        videos too large for HBM go through data.stream.FrameStore +
+        the streaming crop/score paths instead.
+        """
+        frames = [decode_frame(p) for p in self.data.frame_paths]
         shapes = {f.shape for f in frames}
-        assert len(shapes) == 1, f"mixed frame sizes in one video: {shapes}"
+        if len(shapes) != 1:
+            raise ValueError(
+                f"mixed frame sizes {shapes}: use frame_store() with the "
+                "streaming pipeline (data/stream.py), not load_frames()")
         return np.stack(frames).astype(np.uint8)
+
+    def frame_store(self, cache_bytes: int = 2 << 30):
+        """Host-RAM lazy frame store for the streaming paths."""
+        from .stream import FrameStore
+        return FrameStore(self.data.frame_paths, self.data.frame_sizes,
+                          cache_bytes=cache_bytes)
 
     def __len__(self):
         return len(self.data)

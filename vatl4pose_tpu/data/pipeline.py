@@ -130,17 +130,27 @@ def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
 
     Returns (inv_mats (N,2,3) dst->src for the device warp, flip (N,) bool —
     applied as a final x-mirror of the source coordinate, target joints_xy in
-    input space (N,K,2), joints_vis (N,K)).
+    input space (N,K,2), joints_vis (N,K), fwd_mats (N,2,3) src->dst with the
+    flip folded in — the cv2.warpAffine convention the host/native streaming
+    warp consumes).
     """
     n, K = joints_xy.shape[0], joints_xy.shape[1]
     inp_h, inp_w = input_size
     ar = inp_w / inp_h
-    width, height = img_wh
+    # img_wh: (width, height) tuple, or (N, 2) per-sample sizes for batches
+    # spanning videos of different resolutions (combined pre-training jsons)
+    if np.ndim(img_wh) == 2:
+        widths, heights = np.asarray(img_wh)[:, 0], np.asarray(img_wh)[:, 1]
+    else:
+        widths = np.full(n, img_wh[0])
+        heights = np.full(n, img_wh[1])
     inv_mats = np.zeros((n, 2, 3), np.float32)
+    fwd_mats = np.zeros((n, 2, 3), np.float32)
     out_joints = joints_xy.astype(np.float32).copy()
     out_vis = joints_vis.astype(np.float32).copy()
     flips = np.zeros(n, bool)
     for i in range(n):
+        width, height = widths[i], heights[i]
         bb = bboxes_xyxy[i]
         if aug.add_dpg:
             bb = add_dpg(bb, width, height, rng)
@@ -170,36 +180,48 @@ def train_sample_geometry(bboxes_xyxy: np.ndarray, joints_xy: np.ndarray,
         fwd = np_affine_transform(center, scale, r, (inp_w, inp_h))
         inv = np_affine_transform(center, scale, r, (inp_w, inp_h),
                                   inv=True)
+        fwd_f = fwd.copy()
         if flips[i]:
             # fold the image flip into the dst->src map: the flipped image's
             # pixel sx reads the original at width-1-sx.
             inv[0, 0] = -inv[0, 0]
             inv[0, 1] = -inv[0, 1]
             inv[0, 2] = width - 1 - inv[0, 2]
+            # and into the src->dst map: dst = fwd(w-1-x, y)
+            fwd_f[:, 2] = fwd_f[:, 2] + fwd_f[:, 0] * (width - 1)
+            fwd_f[:, 0] = -fwd_f[:, 0]
         inv_mats[i] = inv
+        fwd_mats[i] = fwd_f
         for j in range(K):
             if jv[j] > 0:
                 pt = np.array([jxy[j, 0], jxy[j, 1], 1.0], np.float32)
                 jxy[j] = fwd @ pt
         out_joints[i] = jxy
         out_vis[i] = jv
-    return inv_mats, flips, out_joints, out_vis
+    return inv_mats, flips, out_joints, out_vis, fwd_mats
 
 
 def eval_sample_geometry(bboxes_xyxy: np.ndarray,
-                         input_size: Tuple[int, int]):
-    """Deterministic eval-crop geometry: (inv_mats (N,2,3), bbox_crop (N,4))."""
+                         input_size: Tuple[int, int], want_fwd: bool = False):
+    """Deterministic eval-crop geometry: (inv_mats (N,2,3), bbox_crop (N,4))
+    — with want_fwd, also the src->dst mats the host/native warp uses."""
     inp_h, inp_w = input_size
     ar = inp_w / inp_h
     n = bboxes_xyxy.shape[0]
     inv_mats = np.zeros((n, 2, 3), np.float32)
+    fwd_mats = np.zeros((n, 2, 3), np.float32)
     bbox_crop = np.zeros((n, 4), np.float32)
     for i in range(n):
         center, scale = _box_center_scale_np(bboxes_xyxy[i], ar)
         inv_mats[i] = np_affine_transform(center, scale, 0.0,
                                           (inp_w, inp_h), inv=True)
+        if want_fwd:
+            fwd_mats[i] = np_affine_transform(center, scale, 0.0,
+                                              (inp_w, inp_h))
         bbox_crop[i] = [center[0] - scale[0] / 2, center[1] - scale[1] / 2,
                         center[0] + scale[0] / 2, center[1] + scale[1] / 2]
+    if want_fwd:
+        return inv_mats, bbox_crop, fwd_mats
     return inv_mats, bbox_crop
 
 

@@ -23,16 +23,80 @@ _TEMPLATE = np.array([
     [0.37, 0.95], [0.63, 0.95]], dtype=np.float32)
 
 
+def make_synthetic_multivideo(out_dir: str, num_videos: int = 2,
+                              num_frames: int = 4, num_persons: int = 2,
+                              sizes=None, seed: int = 166,
+                              img_format: str = "npy",
+                              appearance_jitter: bool = False
+                              ) -> Tuple[str, str]:
+    """Combined multi-video training annotation with MIXED resolutions —
+    the synthetic analog of the integrated PoseTrack21 pre-training json
+    (data/PoseTrack21/integrate_new_annotation.py:6-53), which spans videos
+    of different frame sizes and therefore requires the streaming data path.
+    Returns (root_dir, combined_ann_relpath)."""
+    if sizes is None:
+        sizes = [(320, 240), (480, 360), (256, 192)]
+    images, annotations = [], []
+    jit_rng = np.random.default_rng(seed + 7777)
+    for v in range(num_videos):
+        w, h = sizes[v % len(sizes)]
+        vid = f"{v + 1:06d}"
+        extra = {}
+        if appearance_jitter:
+            # per-video appearance diversity — a robust "pre-training
+            # distribution" so fine-tuning on one unseen video doesn't sit
+            # in the razor-thin minimum an overfit single-video model does
+            extra = dict(blob_sigma=float(jit_rng.uniform(2.5, 6.0)),
+                         blob_amp=float(jit_rng.uniform(90.0, 170.0)),
+                         bg_level=float(jit_rng.uniform(15.0, 70.0)),
+                         channel_shift=int(jit_rng.integers(0, 3)))
+        _, ann_rel = make_synthetic_video(
+            out_dir, num_frames=num_frames, num_persons=num_persons,
+            width=w, height=h, seed=seed + v, video_id=vid,
+            img_format=img_format, **extra)
+        with open(os.path.join(out_dir, ann_rel)) as f:
+            ann = json.load(f)
+        for img in ann["images"]:
+            img = dict(img)
+            img["id"] = img["image_id"] = 10000 * (v + 1) + img["frame_id"]
+            images.append(img)
+        for a in ann["annotations"]:
+            a = dict(a)
+            # keep the person id in the last two digits (composite-id sort,
+            # posetrack21.py:103); prefix video+frame for global uniqueness
+            frame = a["image_id"] - 10000
+            a["id"] = int(f"{v + 1}{frame + 1:02d}{a['id'] % 100:02d}")
+            a["image_id"] = 10000 * (v + 1) + frame
+            annotations.append(a)
+    cats = [{"id": 1, "name": "person",
+             "keypoints": [f"kp{i}" for i in range(17)], "skeleton": []}]
+    combined = {"images": images, "annotations": annotations,
+                "categories": cats}
+    rel = "annotations/combined_train.json"
+    os.makedirs(os.path.join(out_dir, "annotations"), exist_ok=True)
+    with open(os.path.join(out_dir, rel), "w") as f:
+        json.dump(combined, f)
+    return out_dir, rel
+
+
 def make_synthetic_video(out_dir: str, num_frames: int = 8,
                          num_persons: int = 3, width: int = 320,
                          height: int = 240, seed: int = 166,
                          video_id: str = "000001",
                          img_format: str = "npy",
-                         layout: str = "flat") -> Tuple[str, str]:
+                         layout: str = "flat",
+                         blob_sigma: float = 3.0,
+                         blob_amp: float = 140.0,
+                         channel_shift: int = 0,
+                         bg_level: float = 40.0) -> Tuple[str, str]:
     """Write frames + annotation json. Returns (root_dir, ann_relpath).
 
     img_format: "npy" (fast, test default) or "png" (lossless image files a
     cv2.imread-based loader — e.g. the reference pipeline — can consume).
+    blob_sigma/blob_amp/channel_shift/bg_level: appearance knobs — vary
+    them between the pre-training video and the AL target video to create
+    a domain gap (the synthetic analog of "pretrained on PoseTrack21,
+    adapted to an unseen test video").
     layout: "flat" puts frames under images/{video_id}/ and the json under
     annotations/; "posetrack" mirrors the reference's on-disk scheme
     (ActiveLearning.py:69-70): images/val/{video_id}_mpii_test/ frames and
@@ -63,7 +127,8 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
     images, annotations = [], []
     ann_counter = 1
     for f in range(num_frames):
-        img = (rng.uniform(0, 40, size=(height, width, 3))).astype(np.float32)
+        img = (rng.uniform(0, bg_level,
+                           size=(height, width, 3))).astype(np.float32)
         image_id = 10000 + f
         fname = f"{img_rel}/{f:06d}.{img_format}"
         for p in range(num_persons):
@@ -74,8 +139,9 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
             # draw blobs so heatmap models see structure
             yy, xx = np.mgrid[0:height, 0:width]
             for kx, ky in kps:
-                img[..., p % 3] += 140.0 * np.exp(
-                    -((yy - ky) ** 2 + (xx - kx) ** 2) / (2 * 9.0))
+                img[..., (p + channel_shift) % 3] += blob_amp * np.exp(
+                    -((yy - ky) ** 2 + (xx - kx) ** 2)
+                    / (2 * blob_sigma ** 2))
             vis = (rng.uniform(size=17) > 0.1).astype(np.float32)
             flat = np.stack([kps[:, 0], kps[:, 1], vis], axis=1).reshape(-1)
             x0, y0 = max(0.0, xy[0] - 5), max(0.0, xy[1] - 5)

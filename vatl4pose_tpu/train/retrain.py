@@ -46,6 +46,7 @@ class Retrainer:
         self.epoch_counter = 0  # survives rounds in continual mode
         self.rng = np.random.default_rng(seed)
         self._step = jax.jit(self._train_step)
+        self._step_crops = jax.jit(self._train_step_crops)
 
     def reset_schedule(self):
         self.epoch_counter = 0
@@ -66,6 +67,22 @@ class Retrainer:
             return img / 255.0 - jnp.asarray(RGB_MEAN)
 
         crops = jax.vmap(crop_one)(frame_idx, inv_mats)
+        return self._fit_crops(params, rest, opt_state, crops, joints, vis,
+                               valid, lr)
+
+    def _train_step_crops(self, variables, opt_state, crops_u8, joints, vis,
+                          valid, lr):
+        """Streaming variant: host-warped uint8 crops in, one fused
+        normalize→forward→loss→update program (data/stream.CropStreamer
+        feeds it; the whole-video device-warp path is _train_step)."""
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+        crops = crops_u8.astype(jnp.float32) / 255.0 - jnp.asarray(RGB_MEAN)
+        return self._fit_crops(params, rest, opt_state, crops, joints, vis,
+                               valid, lr)
+
+    def _fit_crops(self, params, rest, opt_state, crops, joints, vis, valid,
+                   lr):
         target, tw = gaussian_target(joints, vis, self.hm_size, self.sigma)
         mask = tw[:, None, None, :]  # NHWC mask on the K axis
 
@@ -100,25 +117,62 @@ class Retrainer:
             for s in range(0, len(order), bs):
                 sel = indices[order[s:s + bs]]
                 n = len(sel)
-                inv_mats, flips, joints, vis = train_sample_geometry(
-                    data.bboxes[sel], data.joints_xy[sel],
-                    data.joints_vis[sel], img_wh, self.input_size, self.aug,
-                    self.joint_pairs, self.rng)
+                # pad the batch to the static size by CYCLING the real
+                # samples, not with zero rows: BatchNorm reduces over the
+                # whole batch axis, and zero-image padding poisons the
+                # batch statistics (with equal replication the batch
+                # mean/var are identical to the unpadded batch's).  The
+                # valid mask still keeps padding out of the loss.
+                sel_p = np.resize(sel, bs)
+                inv_mats, flips, joints, vis, _ = train_sample_geometry(
+                    data.bboxes[sel_p], data.joints_xy[sel_p],
+                    data.joints_vis[sel_p], img_wh, self.input_size,
+                    self.aug, self.joint_pairs, self.rng)
                 valid = np.zeros(bs, bool)
                 valid[:n] = True
                 variables, opt_state, loss, out, tgt = self._step(
                     variables, opt_state, frames_dev,
-                    jnp.asarray(pad_to(data.frame_idx[sel], bs)),
-                    jnp.asarray(pad_to(inv_mats, bs)),
-                    jnp.asarray(pad_to(joints, bs)),
-                    jnp.asarray(pad_to(vis, bs)),
+                    jnp.asarray(data.frame_idx[sel_p]),
+                    jnp.asarray(inv_mats),
+                    jnp.asarray(joints),
+                    jnp.asarray(vis),
                     jnp.asarray(valid), jnp.asarray(lr, jnp.float32))
                 loss_logger.update(float(loss), n)
-                # full padded batch keeps the jitted accuracy shape static
-                # (padded rows have all-zero labels → excluded by the
-                # visibility rule, metrics.py:118-147 semantics)
+                # accuracy over the cycled batch double-counts replicas of
+                # the real rows — an unbiased average, shape kept static
                 acc_logger.update(calc_accuracy(out, tgt), n)
             self.epoch_counter += 1  # scheduler.step()
+        if log:
+            log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
+        return variables, opt_state, loss_logger.avg, acc_logger.avg
+
+    def retrain_streaming(self, variables, opt_state, streamer, indices,
+                          num_epochs: int, log=None):
+        """Streaming epoch loop: host-prefetched native-warp crops
+        (data/stream.CropStreamer) feed the fused device step — the path
+        for mixed-resolution pre-training sets and videos past the HBM
+        budget (the reference's DataLoader-worker role,
+        posetrack_train.py:166-167)."""
+        bs = self.batch_size
+        loss_logger, acc_logger = DataLogger(), DataLogger()
+        for _ in range(num_epochs):
+            lr = self.base_lr * (self.gamma ** self.epoch_counter)
+            for crops, joints, vis, n in streamer.epoch(indices):
+                valid = np.zeros(bs, bool)
+                valid[:n] = True
+                # cycle-pad (not zero-pad): see retrain() — zero rows
+                # poison the BatchNorm batch statistics
+                crops = np.resize(crops, (bs,) + crops.shape[1:])
+                joints = np.resize(joints, (bs,) + joints.shape[1:])
+                vis = np.resize(vis, (bs,) + vis.shape[1:])
+                variables, opt_state, loss, out, tgt = self._step_crops(
+                    variables, opt_state, jnp.asarray(crops),
+                    jnp.asarray(joints),
+                    jnp.asarray(vis), jnp.asarray(valid),
+                    jnp.asarray(lr, jnp.float32))
+                loss_logger.update(float(loss), n)
+                acc_logger.update(calc_accuracy(out, tgt), n)
+            self.epoch_counter += 1
         if log:
             log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
         return variables, opt_state, loss_logger.avg, acc_logger.avg
