@@ -221,3 +221,49 @@ class TestRetrainBatchNormSafety:
         hm = np.asarray(res["heatmaps"])
         assert np.isfinite(hm).all()
         assert np.abs(hm).max() < 10.0, np.abs(hm).max()
+
+
+class TestRetrainLearns:
+    def test_loss_drops_and_accuracy_rises(self, tmp_path):
+        """Fast learning check on the device retrain path: loss decreases
+        and heatmap-argmax accuracy (calc_accuracy) rises over epochs."""
+        import jax
+        import jax.numpy as jnp
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.pipeline import AugCfg
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        from vatl4pose_tpu.models import build_sppe
+        from vatl4pose_tpu.train.retrain import Retrainer
+
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=4,
+                                         num_persons=2, width=160,
+                                         height=128)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann, "IMG_PREFIX": ""}))
+        preset = Cfg({"IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16],
+                      "SIGMA": 2, "NUM_JOINTS": 17, "TYPE": "simple"})
+        model = build_sppe(Cfg({"TYPE": "SimplePose",
+                                "NUM_DECONV_FILTERS": [64, 64, 64],
+                                "NUM_LAYERS": 18}), preset, train=True)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+        trainer = Retrainer(model, {"OPTIMIZER": "Adam", "LR": 1e-3,
+                                    "LR_GAMMA": 1.0, "BATCH_SIZE": 8},
+                            "SimplePose", input_size=(64, 64),
+                            hm_size=(16, 16), sigma=2.0,
+                            aug=AugCfg(scale_factor=0.0, rot_factor=0,
+                                       flip=False), joint_pairs=[])
+        opt_state = trainer.init_opt_state(variables["params"])
+        frames = jax.device_put(ds.load_frames())
+        idx = np.arange(len(ds.data))
+        losses, accs = [], []
+        for _ in range(3):
+            variables, opt_state, loss, acc = trainer.retrain(
+                variables, opt_state, ds.data, frames, idx, 10,
+                (ds.data.width, ds.data.height))
+            losses.append(loss)
+            accs.append(acc)
+        assert losses[-1] < losses[0] * 0.8, losses
+        assert accs[-1] > accs[0], accs
+        assert accs[-1] > 0.1, accs

@@ -10,7 +10,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from .detailed_result import collect, plot_comparison
+from .detailed_result import (collect, plot_spearman, plot_strategy_curves,
+                              plot_uncertainty_vs_ap)
 from .summarize_result import summarize
 
 
@@ -54,9 +55,14 @@ def main(argv=None):
     out_dir = a.out_dir or os.path.join(a.exp_root, "figures")
     os.makedirs(out_dir, exist_ok=True)
     table = summarize(a.exp_root)
-    detail = collect(a.exp_root)
-    for metric in ("AP", "AP .5"):
-        plot_comparison(detail, out_dir, metric)
+    result_dict, _ = collect(a.exp_root)
+    # the reference's wacv_result.py is near-identical to
+    # detailed_result.py (same artifact set, paper strategy grouping) —
+    # reuse its plotting layer, then add the ALC bar + LaTeX table
+    for metric in ("AP", "AP .5", "AP .75"):
+        plot_strategy_curves(result_dict, out_dir, metric, ann=True)
+    plot_uncertainty_vs_ap(result_dict, out_dir)
+    plot_spearman(result_dict, out_dir)
     alc_bar_chart(table, out_dir)
     tex = latex_table(table)
     with open(os.path.join(out_dir, "strategy_table.tex"), "w") as f:

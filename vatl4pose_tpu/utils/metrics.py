@@ -41,9 +41,11 @@ def _acc_impl(preds, labels, thr):
     norm = jnp.asarray([W, H], jnp.float32) / 10.0
     visible = (l[..., 0] > 1) & (l[..., 1] > 1)           # (N, K)
     dist = jnp.linalg.norm((p - l) / norm, axis=-1)
-    dist = jnp.where(visible, dist, 0.0)
-    # per joint: acc over visible (dist != 0), -1 if none visible
-    dist_cal = dist != 0
+    # -1 sentinel for invisible joints (calc_dist, metrics.py:221-235):
+    # an exact argmax hit has dist == 0 and MUST count — a 0 sentinel
+    # silently drops perfect predictions from the accuracy
+    dist = jnp.where(visible, dist, -1.0)
+    dist_cal = dist != -1.0
     num = jnp.sum(dist_cal, axis=0)                        # (K,)
     hit = jnp.sum(dist_cal & (dist < thr), axis=0)
     acc = jnp.where(num > 0, hit / jnp.maximum(num, 1), -1.0)
