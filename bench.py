@@ -1,20 +1,27 @@
-"""Benchmark: whole-video heatmap inference + scoring throughput on one chip.
+"""Benchmark: AL-cycle throughput on one chip.
 
-Measures the hot path of one AL cycle (BASELINE.md north star): SimplePose
-(ResNet-50) forward over 256x192 person crops plus the full scoring stage
-(decode, OKS, THC via shifted gather, local-peak combine weight) — i.e. what
-the reference spends its eval_and_query loop on (ActiveLearning.py:273-429),
-including the work its per-person Python loop does on CPU.
+Headline (the ONE stdout JSON line): whole-video heatmap inference + scoring
+throughput — the hot path of eval_and_query (ActiveLearning.py:273-429),
+SimplePose-R50 over 256x192 crops in bf16 plus the fused scoring stage
+(decode, OKS, THC shifted-gather, local-peak combine weight).
 
-Prints ONE JSON line:
-  {"metric": "frames/sec/chip (inference+scoring)", "value": N,
-   "unit": "samples/s", "vs_baseline": R}
+Also measured and written to BENCH_DETAIL.json:
+  - f32 parity-mode throughput,
+  - retrain-step throughput (fwd+bwd+AdamW, batch 120 — retrain dominates
+    real cycles: exp cycle_times show retrain 45-66 s vs score 1.5 s),
+  - a full synthetic AL cycle (score + select + retrain epoch),
+  - MFU from XLA cost analysis vs the v5e bf16 peak,
+  - the measured same-host algorithmic anchor: the actual reference code
+    (torch CPU, via tests/refbridge) vs this framework on one CPU core ran
+    1.77 s/sample vs 0.53 s/sample on the shared fixture → 3.32x
+    (exp/host_ab_bench.py, 2026-08-16) — a measurement, unlike the A100
+    estimate below.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md).  R is
-measured against a documented engineering estimate of the PyTorch reference
-on one A100: SimpleBaseline fp32 inference at batch 1080 ≈ 2100 img/s,
-×3 forward passes per sample for THC (ActiveLearning.py:277,294-297) ≈ 700
-samples/s, serial CPU post-processing overlapped → REF_A100 = 700.
+vs_baseline: the reference publishes no numbers (BASELINE.md).  The ratio
+is measured-fps / 700, where 700 samples/s is a documented engineering
+ESTIMATE of the reference on one A100 (batch-1080 fp32 SimpleBaseline
+~2100 img/s ÷ 3 forwards per sample for THC).  Estimate-derived: treat
+accordingly; the measured CPU A/B above is the grounded anchor.
 """
 
 import json
@@ -22,10 +29,23 @@ import time
 
 import numpy as np
 
-REF_A100_SAMPLES_PER_S = 700.0
+REF_A100_SAMPLES_PER_S = 700.0       # documented estimate (see docstring)
+V5E_BF16_PEAK_FLOPS = 197e12         # TPU v5e published bf16 peak
 
 BATCH = 512
 STEPS = 8
+RETRAIN_BATCH = 120
+
+
+def _bench(fn, *args, steps=STEPS):
+    import jax
+    jax.block_until_ready(fn(*args))          # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
 
 
 def main():
@@ -34,49 +54,126 @@ def main():
     setup_jax_cache()
     import jax.numpy as jnp
     from vatl4pose_tpu.models import SimplePose
+    from vatl4pose_tpu.models.criterion import masked_heatmap_loss
     from vatl4pose_tpu.ops import (compute_oks, heatmap_to_coord,
                                    localpeak_mean, thc_scores)
+    from vatl4pose_tpu.train.optim import (build_optimizer, init_state,
+                                           lr_multiplier_tree)
 
+    detail = {}
     model = SimplePose(num_joints=17, num_layers=50, train=False)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.bfloat16)
-    # weight *values* don't matter for throughput; build zeros from shapes
+    x32 = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.float32)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 192, 3), jnp.float32)))
     variables = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), shapes)
-    # serving path: bf16 weights + activations (decode/scoring stay f32);
-    # measured +53% over f32 on v5e with no effect on argmax decode
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+    var_bf16 = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
         variables)
     bbox = jnp.asarray(
         np.tile([[10.0, 20.0, 106.0, 148.0]], (BATCH, 1)), jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 200, (BATCH, 51)), jnp.float32)
     bb_ann = jnp.asarray(np.tile([[10.0, 20.0, 96.0, 128.0]], (BATCH, 1)),
                          jnp.float32)
-    is_prev = jnp.asarray(np.ones(BATCH, bool))
-    is_next = jnp.asarray(np.ones(BATCH, bool))
+    ones = jnp.asarray(np.ones(BATCH, bool))
+
+    def make_step(m):
+        def step(variables, x):
+            hm = m.apply(variables, x)
+            hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
+            coords, scores = heatmap_to_coord(hm, bbox)
+            kpts = jnp.concatenate([coords, scores[..., None]],
+                                   -1).reshape(BATCH, -1)
+            oks = compute_oks(kpts, gt, bb_ann)
+            thc = thc_scores(hm, ones, ones)
+            gc = localpeak_mean(hm)
+            return coords, oks, thc, gc
+        return step
+
+    step = jax.jit(make_step(model))
+
+    # bf16 serving path (decode/scoring stay f32)
+    dt_bf16 = _bench(step, var_bf16, x32.astype(jnp.bfloat16))
+    fps = BATCH / dt_bf16
+    detail["score_bf16_samples_per_s"] = round(fps, 1)
+
+    # f32 parity mode
+    dt_f32 = _bench(step, variables, x32)
+    detail["score_f32_samples_per_s"] = round(BATCH / dt_f32, 1)
+
+    # MFU: XLA-reported flops of the compiled program / wall / peak
+    try:
+        cost = step.lower(var_bf16,
+                          x32.astype(jnp.bfloat16)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            detail["score_step_tflops"] = round(flops / 1e12, 2)
+            detail["score_bf16_mfu_vs_v5e_peak"] = round(
+                flops / dt_bf16 / V5E_BF16_PEAK_FLOPS, 3)
+    except Exception as e:                      # cost analysis is best-effort
+        detail["cost_analysis_error"] = str(e)
+
+    # retrain step: fwd+bwd+per-group AdamW at the production batch size
+    model_t = SimplePose(num_joints=17, num_layers=50, train=True)
+    update_fn, group_of = build_optimizer(
+        {"OPTIMIZER": "AdamW", "LR": 2.5e-4, "WEIGHT_DECAY": 0.7},
+        "SimplePose")
+    opt_state = init_state(variables["params"])
+    xr = jnp.asarray(rng.normal(0, 1, (RETRAIN_BATCH, 256, 192, 3)),
+                     jnp.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (RETRAIN_BATCH, 64, 48, 17)),
+                         jnp.float32)
+    tw = jnp.ones((RETRAIN_BATCH, 17), jnp.float32)
+    valid = jnp.ones((RETRAIN_BATCH,), bool)
 
     @jax.jit
-    def step(variables, x):
-        hm = model.apply(variables, x)
-        hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
-        coords, scores = heatmap_to_coord(hm, bbox)
-        kpts = jnp.concatenate([coords, scores[..., None]],
-                               -1).reshape(BATCH, -1)
-        oks = compute_oks(kpts, gt, bb_ann)
-        thc = thc_scores(hm, is_prev, is_next)
-        gc = localpeak_mean(hm)
-        return coords, oks, thc, gc
+    def train_step(variables, opt_state, x):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
 
-    jax.block_until_ready(step(variables, x))          # compile
+        def loss_fn(p):
+            out, new_state = model_t.apply({"params": p, **rest}, x,
+                                           mutable=["batch_stats"])
+            return masked_heatmap_loss(out, target, tw[:, None, None, :],
+                                       valid=valid), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        mults = lr_multiplier_tree(params, group_of)
+        new_params, new_opt = update_fn(params, grads, opt_state,
+                                        jnp.asarray(2.5e-4), mults)
+        return {"params": new_params, **new_state}, new_opt, loss
+
+    dt_tr = _bench(train_step, variables, opt_state, xr, steps=4)
+    detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
+    detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
+
+    # full-cycle estimate at production shape: score a 512-sample video +
+    # one coreset selection + one retrain epoch over 120 samples
+    from vatl4pose_tpu.al.selection import coreset_selection
+    emb = rng.normal(0, 1, (BATCH, 2048)).astype(np.float32)
+    unc = rng.uniform(size=BATCH).astype(np.float32)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = step(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = BATCH * STEPS / dt
+    coreset_selection(emb, unc, list(range(24)), 26, 0.01, 0.5)
+    detail["coreset_select_s_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    coreset_selection(emb, unc, list(range(50)), 26, 0.01, 0.55)
+    detail["coreset_select_s_warm"] = round(time.perf_counter() - t0, 3)
+    detail["full_cycle_s_512_samples"] = round(
+        dt_bf16 + detail["coreset_select_s_warm"] + dt_tr, 3)
+
+    detail["same_host_cpu_ab_speedup_measured"] = 3.32
+    detail["ref_anchor"] = {
+        "a100_estimate_samples_per_s": REF_A100_SAMPLES_PER_S,
+        "provenance": "engineering estimate (see bench.py docstring); "
+                      "measured anchor = same-host CPU A/B vs the actual "
+                      "reference code: 1.77 vs 0.53 s/sample (3.32x)",
+    }
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
     print(json.dumps({
         "metric": "frames/sec/chip (inference+scoring)",
         "value": round(fps, 1),

@@ -178,7 +178,7 @@ class ActiveLearning:
                           bf16=self.speedup),
             ae_model=self.ae_model,
             aux_model=self.aux_model,
-            chunk=min(256, max(32, self.eval_len)))
+            chunk=min(512, max(32, self.eval_len)))  # 512 ≈ +7% fps vs 256
         self._log(f"[[AL strategy: {self.strategy}]] video {self.video_id} "
                   f"N={self.eval_len} model={cfg.MODEL.TYPE}")
         if getattr(opt, "verbose", False):

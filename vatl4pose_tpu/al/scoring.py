@@ -50,7 +50,7 @@ class ScoringEngine:
     """Compiles and runs the two-stage scoring pipeline for one model."""
 
     def __init__(self, model, cfg: ScoringConfig, ae_model=None,
-                 aux_model=None, chunk: int = 256):
+                 aux_model=None, chunk: int = 512):
         self.model = model
         self.cfg = cfg
         self.ae_model = ae_model

@@ -17,6 +17,7 @@ semantics); the O(N²) embedding distance work runs on device (MXU matmuls).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -185,46 +186,59 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
     valid_np = np.zeros(nb, bool)
     valid_np[:n_real] = True
 
-    emb = jnp.asarray(emb_np)
-    unc0 = jnp.asarray(unc_np)
-    valid = jnp.asarray(valid_np)
-    n = nb
-    query_size = qb
-
-    sq = jnp.sum(emb * emb, axis=1)
+    first_random = (mode == "plain") and len(labeled_idx) == 0
+    first_idx = 0
+    if first_random:
+        rng = rng or np.random.RandomState()
+        first_idx = int(rng.choice(np.arange(nb)))
 
     if len(labeled_idx) > 0:
-        # bucket the labeled set too (repeat the first index — duplicate
-        # centers don't change the min distance) so the init program
-        # compiles once per bucket instead of once per round
+        # pad the labeled set to the FULL embedding bucket (repeat the
+        # first index — duplicate centers don't change the min distance):
+        # the program then compiles once per (nb, qb, mode) instead of
+        # once per labeled-set bucket per round (the round-1 select-phase
+        # recompile spikes, ~8s each on rounds where the labeled bucket
+        # grew).  The (nb × nb) distance matmul is MXU work, ~1 ms at 4k.
         li_np = np.asarray(labeled_idx, np.int32)
-        lb = bucket_size(len(li_np))
         li_np = np.concatenate(
-            [li_np, np.full(lb - len(li_np), li_np[0], np.int32)])
-        li = jnp.asarray(li_np)
+            [li_np, np.full(nb - len(li_np), li_np[0], np.int32)])
+        have_labeled = True
+    else:
+        li_np = np.zeros(nb, np.int32)
+        have_labeled = False
+
+    picks = _coreset_run(
+        jnp.asarray(emb_np), jnp.asarray(unc_np), jnp.asarray(valid_np),
+        jnp.asarray(li_np), jnp.asarray(moks_queried, jnp.float32),
+        jnp.asarray(unc_lambda, jnp.float32),
+        jnp.asarray(first_idx, jnp.int32), mode=mode, query_size=qb,
+        have_labeled=have_labeled, first_random=first_random)
+    return [int(p) for p in np.asarray(picks)[:q_real]]
+
+
+@partial(jax.jit, static_argnames=("mode", "query_size", "have_labeled",
+                                   "first_random"))
+def _coreset_run(emb, unc0, valid, li, moks, lam, first_idx, *, mode,
+                 query_size, have_labeled, first_random):
+    """Compiled k-center greedy.  moks/λ are traced scalars (they change
+    every round — baking them in as constants recompiled per round)."""
+    sq = jnp.sum(emb * emb, axis=1)
+    if have_labeled:
         d2 = sq[:, None] + sq[li][None, :] - 2.0 * (emb @ emb[li].T)
         init_min = jnp.min(jnp.sqrt(jnp.maximum(d2, 0.0)), axis=1)
         init_min = jnp.where(valid, init_min, -jnp.inf)
-        have_labeled = True
     else:
         init_min = jnp.where(valid, jnp.inf, -jnp.inf)
-        have_labeled = False
 
     if mode == "dynamic":
         def score(md, unc):
-            return (1.0 - moks_queried) * md + unc_lambda * moks_queried * unc
+            return (1.0 - moks) * md + lam * moks * unc
     elif mode == "fixed":
         def score(md, unc):
-            return md + unc_lambda * unc
+            return md + lam * unc
     else:
         def score(md, unc):
             return md
-
-    first_random = (mode == "plain") and not have_labeled
-    first_idx = None
-    if first_random:
-        rng = rng or np.random.RandomState()
-        first_idx = int(rng.choice(np.arange(n)))
 
     def body(i, state):
         min_d, unc, picks = state
@@ -237,8 +251,7 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
         sc = score(jnp.where(valid, min_d, 0.0), jnp.where(valid, unc, 0.0))
         ind_score = jnp.argmax(jnp.where(valid, sc, -jnp.inf))
         ind = jnp.where(no_centers,
-                        first_idx if first_idx is not None else ind_unc,
-                        ind_score)
+                        first_idx if first_random else ind_unc, ind_score)
         # exact per-center distances (avoids the a²+b²-2ab cancellation)
         dn = jnp.sqrt(jnp.sum(jnp.square(emb - emb[ind]), axis=1))
         min_d = jnp.where(valid, jnp.minimum(min_d, dn), -jnp.inf)
@@ -249,4 +262,4 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
     picks0 = jnp.zeros((query_size,), jnp.int32)
     _, _, picks = jax.lax.fori_loop(0, query_size, body,
                                     (init_min, unc0, picks0))
-    return [int(p) for p in np.asarray(picks)[:q_real]]
+    return picks

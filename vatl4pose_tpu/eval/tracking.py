@@ -20,7 +20,7 @@ from typing import Dict
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from ..ops.oks import JRDB_VARS, oks_matrix
+from ..ops.oks import JRDB_VARS, oks_kpts_matrix, oks_matrix
 
 
 def _load(o):
@@ -30,8 +30,15 @@ def _load(o):
     return o
 
 
-def _prepare(gt_data, pr_data):
-    """Per-frame gt/pred track-id arrays + OKS similarity matrices."""
+def _prepare(gt_data, pr_data, per_kpt: bool = False):
+    """Per-frame gt/pred track-id arrays + OKS similarity matrices.
+
+    The similarity counts ALL joints (force_visible — the toolkit's 'JRDB
+    assumption: all joints are valid', jrdbpose.py:595-620).  With per_kpt,
+    each frame also carries the (G, P, K) per-keypoint OKS terms and the
+    GT keypoint-visibility levels (0 invisible / 1 occluded / 2 visible)
+    for the occlusion-level OSPA2 (posetrack/metrics/ospa2.py).
+    """
     gt_data = _load(gt_data)
     pr_data = _load(pr_data)
     pr_anns = pr_data["annotations"] if isinstance(pr_data, dict) else pr_data
@@ -55,17 +62,27 @@ def _prepare(gt_data, pr_data):
         gts, prs = gt_by[iid], pr_by[iid]
         g_ids = np.array([gt_map[a["track_id"]] for a in gts], int)
         p_ids = np.array([pr_map[a["track_id"]] for a in prs], int)
+        kpt_sim = None
+        kpt_vis = None
+        if gts:
+            gk = np.array([a["keypoints"] for a in gts], np.float64)
+            kpt_vis = gk[:, 2::3].astype(int)
         if gts and prs:
+            garea = np.array([a.get("area", a["bbox"][2] * a["bbox"][3])
+                              for a in gts], np.float64)
+            pk = np.array([a["keypoints"] for a in prs], np.float64)
             sim = oks_matrix(
-                np.array([a["keypoints"] for a in gts], np.float64),
-                np.array([a["bbox"] for a in gts], np.float64),
-                np.array([a.get("area", a["bbox"][2] * a["bbox"][3])
-                          for a in gts], np.float64),
-                np.array([a["keypoints"] for a in prs], np.float64),
-                variances=JRDB_VARS)
+                gk, np.array([a["bbox"] for a in gts], np.float64),
+                garea, pk, variances=JRDB_VARS, force_visible=True)
+            if per_kpt:
+                kpt_sim = oks_kpts_matrix(gk, garea, pk,
+                                          variances=JRDB_VARS)
         else:
             sim = np.zeros((len(gts), len(prs)))
-        frames.append((g_ids, p_ids, sim))
+        if per_kpt:
+            frames.append((g_ids, p_ids, sim, kpt_sim, kpt_vis))
+        else:
+            frames.append((g_ids, p_ids, sim))
     return frames, len(gt_track_ids), len(pr_track_ids)
 
 
@@ -189,17 +206,26 @@ def identity(gt_data, pr_data, threshold: float = 0.5) -> Dict[str, float]:
     return {"IDF1": idf1, "IDTP": idtp, "IDFN": idfn, "IDFP": idfp}
 
 
-def ospa2(gt_data, pr_data) -> Dict[str, float]:
-    """OSPA2 (posetrack/metrics/ospa2.py eval_sequence, occlusion level 3):
-    time-averaged pairwise track distance + Hungarian + cardinality term."""
-    frames, n_gt, n_pr = _prepare(gt_data, pr_data)
+def ospa2(gt_data, pr_data, occlusion_levels: bool = True
+          ) -> Dict[str, float]:
+    """OSPA2 (posetrack/metrics/ospa2.py eval_sequence): time-averaged
+    pairwise track distance + Hungarian + cardinality term, plus the
+    per-occlusion-level variants (OSPA_INVI/OSPA_OCCL/OSPA_VIS) computed on
+    keypoint-visibility-masked per-keypoint distances with the SAME
+    level-3 track matching (ospa2.py:58-97).
+    """
+    frames, n_gt, n_pr = _prepare(gt_data, pr_data,
+                                  per_kpt=occlusion_levels)
     if n_gt == 0 and n_pr == 0:
         return {"OSPA": 0.0, "OSPA_CARD": 0.0, "OSPA_LOC": 0.0}
-    dist_sum = np.zeros((n_gt, n_pr))
+    n_levels = 4 if occlusion_levels else 1
+    dist_sum = [np.zeros((n_gt, n_pr)) for _ in range(n_levels)]
     counts = np.zeros((n_gt, n_pr))
-    for g_ids, p_ids, sim in frames:
+    for fr in frames:
+        g_ids, p_ids, sim = fr[0], fr[1], fr[2]
         if len(p_ids) == 0:
             continue
+        # level 3 (= the only level when occlusion_levels is off): full OKS
         d = np.zeros((n_gt, n_pr))
         d[g_ids] = 1
         counts[g_ids] += 1
@@ -208,19 +234,41 @@ def ospa2(gt_data, pr_data) -> Dict[str, float]:
         if len(g_ids):
             d[np.ix_(g_ids, p_ids)] = 1 - sim
             counts[np.ix_(g_ids, p_ids)] -= 1
-        dist_sum += d
+        dist_sum[-1] += d
+        if occlusion_levels:
+            kpt_sim, kpt_vis = fr[3], fr[4]
+            for lvl in range(3):
+                dl = np.zeros((n_gt, n_pr))
+                dl[g_ids] = 1
+                dl[:, p_ids] = 1
+                if len(g_ids):
+                    # mask per-keypoint distances to this visibility level;
+                    # the mean divides by the count of NONZERO distances
+                    # (the toolkit quirk at ospa2.py:64 — exact-hit
+                    # keypoints drop out of the denominator)
+                    mask = (kpt_vis == lvl)[:, None, :]
+                    dist_k = (1 - kpt_sim) * mask
+                    denom_k = np.maximum(1, np.sum(dist_k > 0, axis=-1))
+                    dl[np.ix_(g_ids, p_ids)] = np.sum(dist_k, -1) / denom_k
+                dist_sum[lvl] += dl
     counts[counts == 0] = 1
-    trk_dist = dist_sum / counts
-    if n_gt and n_pr:
-        rows, cols = linear_sum_assignment(trk_dist)
-        cost = float(trk_dist[rows, cols].sum())
-    else:
-        cost = 0.0
+    trk_dist = dist_sum[-1] / counts
     m, n = n_gt, n_pr
     denom = max(m, n, 1)
-    return {"OSPA": (abs(m - n) + cost) / denom,
-            "OSPA_CARD": abs(m - n) / denom,
-            "OSPA_LOC": cost / denom}
+    if n_gt and n_pr:
+        rows, cols = linear_sum_assignment(trk_dist)
+    else:
+        rows = cols = np.array([], int)
+    out = {}
+    names = {0: "OSPA_INVI", 1: "OSPA_OCCL", 2: "OSPA_VIS", 3: "OSPA"}
+    for i, ds in enumerate(dist_sum):
+        lvl = 3 if not occlusion_levels else i
+        cost = float((ds / counts)[rows, cols].sum())
+        out[names[lvl]] = (abs(m - n) + cost) / denom
+        if lvl == 3:
+            out["OSPA_CARD"] = abs(m - n) / denom
+            out["OSPA_LOC"] = cost / denom
+    return out
 
 
 def evaluate_tracking(gt_data, pr_data) -> Dict[str, float]:
