@@ -135,3 +135,106 @@ class TestJpegFrames:
         assert frames.shape == (3, 96, 120, 3)
         assert frames.dtype == np.uint8
         assert frames.max() > 50  # decoded real content, RGB order
+
+
+class TestJrdbTrainCLI:
+    def test_jrdb_synthetic_training_runs(self, tmp_path):
+        """jrdbpose_train drives the JRDB2022 dataset path end to end
+        (3-digit track suffix, JRDB joint pairs) and refuses non-JRDB
+        configs."""
+        import yaml
+        from vatl4pose_tpu.cli.jrdbpose_train import main
+        cfg = {
+            "DATASET": {"TRAIN": {"TYPE": "JRDB2022", "ROOT": "",
+                                  "IMG_PREFIX": "", "ANN": "",
+                                  "AUG": {"FLIP": True, "ROT_FACTOR": 10,
+                                          "SCALE_FACTOR": 0.1,
+                                          "NUM_JOINTS_HALF_BODY": 8,
+                                          "PROB_HALF_BODY": -1}},
+                        "EVAL": {"TYPE": "JRDB2022", "ROOT": "",
+                                 "IMG_PREFIX": "", "ANN": ""}},
+            "DATA_PRESET": {"TYPE": "simple", "SIGMA": 2, "NUM_JOINTS": 17,
+                            "IMAGE_SIZE": [64, 64],
+                            "HEATMAP_SIZE": [16, 16]},
+            "MODEL": {"TYPE": "SimplePose", "PRETRAINED": "",
+                      "TRY_LOAD": "", "NUM_DECONV_FILTERS": [64, 64, 64],
+                      "NUM_LAYERS": 18},
+            "LOSS": {"TYPE": "MSELoss"},
+            "TRAIN": {"WORLD_SIZE": 1, "BATCH_SIZE": 8, "BEGIN_EPOCH": 0,
+                      "END_EPOCH": 2, "OPTIMIZER": "adam", "LR": 1e-3,
+                      "LR_FACTOR": 0.1, "LR_STEP": [1]},
+        }
+        cfg_path = tmp_path / "jrdb.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        main(["--cfg", str(cfg_path), "--synthetic", "--seed", "5",
+              "--snapshot", "2", "--work_dir", str(tmp_path / "work")])
+        import os
+        assert any(f.endswith(".pkl")
+                   for f in os.listdir(tmp_path / "work"))
+
+        # non-JRDB config is rejected
+        cfg["DATASET"]["TRAIN"]["TYPE"] = "Posetrack21"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        import pytest
+        with pytest.raises(AssertionError, match="JRDB2022"):
+            main(["--cfg", str(cfg_path), "--seed", "5",
+                  "--work_dir", str(tmp_path / "w2")])
+
+
+class TestConcatAndDetDatasets:
+    def test_concat_lifts_joint_slices(self, tmp_path):
+        """ConcatDataset places each subset's joints at its MASK_ID offset
+        in the combined label space (concat_dataset.py:60-66)."""
+        import numpy as np
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        r1, a1 = make_synthetic_video(str(tmp_path / "a"), num_frames=2,
+                                      num_persons=1, width=160, height=128)
+        r2, a2 = make_synthetic_video(str(tmp_path / "b"), num_frames=3,
+                                      num_persons=2, width=128, height=96,
+                                      seed=5)
+        cfg = Cfg({"TYPE": "ConcatDataset", "NUM_JOINTS": 20,
+                   "SET_LIST": [
+                       {"TYPE": "Posetrack21", "ROOT": r1, "ANN": a1,
+                        "IMG_PREFIX": "", "MASK_ID": 0},
+                       {"TYPE": "Posetrack21", "ROOT": r2, "ANN": a2,
+                        "IMG_PREFIX": "", "MASK_ID": 3}]})
+        ds = build_dataset(cfg)
+        assert len(ds) == 2 + 6
+        d = ds.data
+        assert d.joints_xy.shape[1] == 20
+        assert d.gt_keypoints.shape[1] == 60
+        # subset 2's joints live at offset 3; its slots 0-2 are invisible
+        assert np.all(d.joints_vis[2:, :3] == 0)
+        assert np.any(d.joints_vis[2:, 3:20] > 0)
+        # subset 1 has nothing past joint 17
+        assert np.all(d.joints_vis[:2, 17:] == 0)
+        assert d.mixed_sizes
+        # track keys are namespaced: no accidental cross-subset linkage
+        assert d.track_keys[1].startswith("s0:")
+        assert d.track_keys[2].startswith("s1:")
+
+    def test_mscoco_det_loads_detection_boxes(self, tmp_path):
+        import json
+        import numpy as np
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=2,
+                                         num_persons=1, width=160,
+                                         height=128)
+        dets = [{"image_id": 10000, "bbox": [10.0, 12.0, 40.0, 60.0],
+                 "score": 0.9, "category_id": 1},
+                {"image_id": 10001, "bbox": [20.0, 5.0, 30.0, 70.0],
+                 "score": 0.7, "category_id": 1}]
+        with open(tmp_path / "dets.json", "w") as f:
+            json.dump(dets, f)
+        ds = build_dataset(Cfg({"TYPE": "Mscoco_det", "ROOT": root,
+                                "ANN": ann, "DET_FILE": "dets.json"}))
+        assert len(ds) == 2
+        np.testing.assert_allclose(ds.det_scores, [0.9, 0.7], rtol=1e-6)
+        # clipped xyxy conversion (bbox.py xywh->xyxy with w-1 semantics)
+        np.testing.assert_allclose(ds.bboxes[0], [10, 12, 49, 71])
+        frames = ds.load_frames()
+        assert frames.shape == (2, 128, 160, 3)

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--stopping", action="store_true")
     p.add_argument("--continual", action="store_true")
     p.add_argument("--optimize", action="store_true")
+    p.add_argument("--search", choices=["tpe", "grid"], default="tpe",
+                   help="--optimize sampler: TPE (the reference's intended "
+                        "default) or grid (its shipped single-point "
+                        "GridSampler path, widened)")
+    p.add_argument("--n_trials", type=int, default=30)
     p.add_argument("--PCIT", action="store_true")
     p.add_argument("--fixed_lambda", action="store_true")
     p.add_argument("--THCvsWPU", choices=["const", "increase", "decrease"],
@@ -226,13 +231,21 @@ def save_result(cfg, opt, result):
 
 
 def optimize_alc(cfg, opt, video_list):
-    """Grid/TPE search over VAL.UNC_LAMBDA maximizing mean ALC
-    (Run_active_learning.py:175-209; optuna is unavailable here → grid)."""
+    """Hyperparameter search over VAL.UNC_LAMBDA maximizing mean ALC
+    (Run_active_learning.py:175-209).  --search tpe runs the TPE study the
+    reference's commented default-sampler line implies
+    (suggest_float 0.001..100, n_trials=30, QUERY_RATIO override at :201);
+    --search grid mirrors the shipped GridSampler path with a useful grid.
+    optuna itself is unavailable here — al/optuna_lite.py provides the same
+    surface."""
     from ..al.al_metric import compute_alc
-    space = [0.001, 0.01, 0.1, 1.0, 10.0]
-    best, best_alc = None, -1
-    for lam in space:
-        cfg.VAL.UNC_LAMBDA = lam
+    from ..al.optuna_lite import GridSampler, TPESampler, create_study
+
+    cfg.VAL.QUERY_RATIO = [0.05, 0.1, 0.2, 0.3, 0.4, 1]
+
+    def objective(trial):
+        cfg.VAL.UNC_LAMBDA = trial.suggest_float("unc_lambda", 0.001, 100,
+                                                 log=True)
         alcs = []
         for video in video_list:
             opt.video_id = video
@@ -240,10 +253,22 @@ def optimize_alc(cfg, opt, video_list):
             ap95 = np.array([r["AP .95"] for r in result[2]]) * 100
             alcs.append(compute_alc(result[0], ap95))
         alc = float(np.mean(alcs))
-        print(f"unc_lambda={lam}: ALC={alc:.4f}")
-        if alc > best_alc:
-            best, best_alc = lam, alc
-    print(f"Best ALC: {best_alc} Best params: {{'unc_lambda': {best}}}")
+        print(f"trial {trial.number}: unc_lambda="
+              f"{cfg.VAL.UNC_LAMBDA:.4g} ALC={alc:.4f}", flush=True)
+        return alc
+
+    if getattr(opt, "search", "tpe") == "grid":
+        sampler = GridSampler(
+            {"unc_lambda": [0.001, 0.01, 0.1, 1.0, 10.0, 100.0]})
+        n_trials = 6
+    else:
+        sampler = TPESampler(seed=getattr(opt, "seed", None))
+        n_trials = getattr(opt, "n_trials", 30)
+    study = create_study(direction="maximize", sampler=sampler)
+    study.optimize(objective, n_trials=n_trials)
+    print(f"Best ALC: {study.best_value} Best params: {study.best_params}")
+    study.plot_history(os.path.join(opt.work_dir, "optuna_history.png"))
+    return study
 
 
 def main(argv=None):

@@ -244,6 +244,16 @@ class JRDB2022(VideoPoseDataset):
 
 def build_dataset(dataset_cfg, check_files: bool = True):
     cls = DATASET.get(dataset_cfg["TYPE"])
+    name = dataset_cfg["TYPE"]
+    if name == "ConcatDataset":
+        return cls(set_list=dataset_cfg["SET_LIST"],
+                   num_joints=dataset_cfg["NUM_JOINTS"],
+                   check_files=check_files)
+    if name == "Mscoco_det":
+        return cls(root=dataset_cfg["ROOT"], ann_file=dataset_cfg["ANN"],
+                   det_file=dataset_cfg["DET_FILE"],
+                   img_prefix=dataset_cfg.get("IMG_PREFIX", ""),
+                   check_files=check_files)
     return cls(root=dataset_cfg["ROOT"], ann_file=dataset_cfg["ANN"],
                img_prefix=dataset_cfg.get("IMG_PREFIX", ""),
                check_files=check_files)

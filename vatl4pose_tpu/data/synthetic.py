@@ -88,7 +88,8 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
                          blob_sigma: float = 3.0,
                          blob_amp: float = 140.0,
                          channel_shift: int = 0,
-                         bg_level: float = 40.0) -> Tuple[str, str]:
+                         bg_level: float = 40.0,
+                         track_digits: int = 2) -> Tuple[str, str]:
     """Write frames + annotation json. Returns (root_dir, ann_relpath).
 
     img_format: "npy" (fast, test default) or "png" (lossless image files a
@@ -147,9 +148,10 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
             x0, y0 = max(0.0, xy[0] - 5), max(0.0, xy[1] - 5)
             bw = min(w + 10, width - x0)
             bh = min(h + 10, height - y0)
-            # annotation id encodes the person in its last two digits so the
-            # composite-id sort groups tracks (posetrack21.py:103 semantics)
-            ann_id = int(f"{f + 1}{p:02d}")
+            # annotation id encodes the person in its last track_digits
+            # digits so the composite-id sort groups tracks (posetrack21.py
+            # :103 uses 2 digits; jrdb2022.py uses 3)
+            ann_id = int(f"{f + 1}{p:0{track_digits}d}")
             annotations.append({
                 "id": ann_id,
                 "image_id": image_id,
