@@ -218,3 +218,50 @@ class TestTrainStepEquivalence:
             if na > 0:
                 cos = float(a @ b / (na * nb))
                 assert cos > 0.9999, cos
+
+
+class TestShardedScoring:
+    def test_dp_scoring_matches_single_device(self, tmp_path):
+        """ScoringEngine with a DP mesh produces the same scores/selection
+        inputs as single-device execution (the AL loop's --data_parallel)."""
+        from vatl4pose_tpu.al.scoring import ScoringConfig, ScoringEngine
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        from vatl4pose_tpu.models import build_sppe
+        from vatl4pose_tpu.parallel.mesh import make_mesh
+
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=6,
+                                         num_persons=2, width=160,
+                                         height=128)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann, "IMG_PREFIX": ""}))
+        d = ds.data
+        preset = Cfg({"IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16],
+                      "SIGMA": 2, "NUM_JOINTS": 17, "TYPE": "simple"})
+        model = build_sppe(Cfg({"TYPE": "SimplePose",
+                                "NUM_DECONV_FILTERS": [64, 64, 64],
+                                "NUM_LAYERS": 18}), preset, train=False)
+        variables = model.init(jax.random.PRNGKey(3),
+                               jnp.zeros((1, 64, 64, 3)))
+        bbox_ann = np.stack([d.bboxes[:, 0], d.bboxes[:, 1],
+                             d.bboxes[:, 2] - d.bboxes[:, 0],
+                             d.bboxes[:, 3] - d.bboxes[:, 1]], 1)
+        frames = jax.device_put(ds.load_frames())
+        cfg = ScoringConfig(uncertainty="THC_L1", need_embedding=True,
+                            input_size=(64, 64))
+
+        single = ScoringEngine(model, cfg, chunk=32)
+        res_1 = single.score(variables, frames, d.frame_idx, d.bboxes,
+                             d.gt_keypoints, bbox_ann, d.is_prev, d.is_next)
+
+        mesh = make_mesh(8)
+        with mesh:
+            dp = ScoringEngine(model, cfg, chunk=32, mesh=mesh)
+            res_8 = dp.score(variables, frames, d.frame_idx, d.bboxes,
+                             d.gt_keypoints, bbox_ann, d.is_prev, d.is_next)
+        for k in ("oks", "unc", "det_score", "gc", "kpts"):
+            np.testing.assert_allclose(res_8[k], res_1[k], rtol=2e-4,
+                                       atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(res_8["embeddings"], res_1["embeddings"],
+                                   rtol=2e-4, atol=1e-5)

@@ -169,6 +169,14 @@ class ActiveLearning:
         need_emb = (self.representativeness not in ("None", "Random")
                     or self.filter not in ("None", "Random"))
         self.speedup = bool(getattr(opt, "speedup", False))
+        mesh = None
+        if getattr(opt, "data_parallel", False) and len(jax.devices()) > 1:
+            # DP scoring over all local chips (nn.DataParallel analog,
+            # ActiveLearning.py:233) — per-sample axes shard over 'data'
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(len(jax.devices()))
+            self._log(f"[DP] scoring sharded over {len(jax.devices())} "
+                      "devices")
         self.engine = ScoringEngine(
             self.model_eval,
             ScoringConfig(uncertainty=self.uncertainty,
@@ -178,7 +186,8 @@ class ActiveLearning:
                           bf16=self.speedup),
             ae_model=self.ae_model,
             aux_model=self.aux_model,
-            chunk=min(512, max(32, self.eval_len)))  # 512 ≈ +7% fps vs 256
+            chunk=min(512, max(32, self.eval_len)),  # 512 ≈ +7% fps vs 256
+            mesh=mesh)
         self._log(f"[[AL strategy: {self.strategy}]] video {self.video_id} "
                   f"N={self.eval_len} model={cfg.MODEL.TYPE}")
         if getattr(opt, "verbose", False):
@@ -210,15 +219,17 @@ class ActiveLearning:
     def _load_ae_pretrained(self):
         root = self.cfg.AE.get("PRETRAINED_ROOT", "")
         zdim = self.cfg.AE.Z_DIM
-        path = os.path.join(root, "Hybrid", f"WholeBodyAE_zdim{zdim}.pth") \
-            if root else ""
-        if path and os.path.exists(path):
-            return convert_state_dict(load_torch_checkpoint(path),
-                                      "WholeBodyAE")
-        if path and path.endswith(".pkl") and os.path.exists(path):
-            import pickle
-            with open(path, "rb") as f:
-                return pickle.load(f)
+        if root:
+            # reference layout (ActiveLearning.py:895): torch .pth; this
+            # framework's wholebodyAE_train writes .pkl variable trees
+            base = os.path.join(root, "Hybrid", f"WholeBodyAE_zdim{zdim}")
+            if os.path.exists(base + ".pth"):
+                return convert_state_dict(
+                    load_torch_checkpoint(base + ".pth"), "WholeBodyAE")
+            if os.path.exists(base + ".pkl"):
+                import pickle
+                with open(base + ".pkl", "rb") as f:
+                    return pickle.load(f)
         self._log("[AE] no pretrained AE found — random init")
         return self.ae_model.init(jax.random.PRNGKey(318),
                                   jnp.zeros((1, self.ae_model.input_dim)))

@@ -50,15 +50,37 @@ class ScoringEngine:
     """Compiles and runs the two-stage scoring pipeline for one model."""
 
     def __init__(self, model, cfg: ScoringConfig, ae_model=None,
-                 aux_model=None, chunk: int = 512):
+                 aux_model=None, chunk: int = 512, mesh=None):
         self.model = model
         self.cfg = cfg
         self.ae_model = ae_model
         self.aux_model = aux_model
+        self.mesh = mesh
+        if mesh is not None:
+            # DP serving: shard every per-sample axis over the 'data' mesh
+            # axis, replicate params/frames — XLA runs each chunk across
+            # all chips (the multi-chip analog of the reference's
+            # DataParallel eval loader, ActiveLearning.py:99,233)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            chunk = max(chunk, n_dev) // n_dev * n_dev
+            self._batch_sh = NamedSharding(mesh, P("data"))
+            self._repl_sh = NamedSharding(mesh, P())
         self.chunk = chunk
         self._fwd = jax.jit(self._forward_chunk)
         self._fwd_crops = jax.jit(self._forward_chunk_crops)
         self._score = jax.jit(self._score_video)
+
+    def _shard(self, arr):
+        """Batch-shard a device input when a mesh is configured."""
+        if self.mesh is None:
+            return arr
+        return jax.device_put(arr, self._batch_sh)
+
+    def _repl(self, tree):
+        if self.mesh is None:
+            return tree
+        return jax.device_put(tree, self._repl_sh)
 
     # ---- stage 1: heatmaps + embeddings ----------------------------------
     def _forward_chunk(self, variables, frames, frame_idx, bboxes,
@@ -105,10 +127,14 @@ class ScoringEngine:
         (N, K, h, w), (N, E), (N, 4), (N, L, 2)."""
         n = bboxes.shape[0]
         hms, embs, crops_bb, auxs = [], [], [], []
+        variables = self._repl(variables)
+        frames_dev = self._repl(frames_dev)
         for s in range(0, n, self.chunk):
             e = min(s + self.chunk, n)
-            fi = pad_to(np.asarray(frame_idx[s:e]), self.chunk)
-            bb = pad_to(np.asarray(bboxes[s:e]), self.chunk)
+            fi = self._shard(jnp.asarray(
+                pad_to(np.asarray(frame_idx[s:e]), self.chunk)))
+            bb = self._shard(jnp.asarray(
+                pad_to(np.asarray(bboxes[s:e]), self.chunk)))
             hm, emb, ap, bc = self._fwd(variables, frames_dev, fi, bb,
                                         aux_variables)
             hms.append(hm[: e - s])
@@ -287,14 +313,18 @@ class ScoringEngine:
             # unit boxes for padded rows keep the (discarded) OKS finite
             bb_ann = np.concatenate(
                 [bb_ann, np.ones((pad, 4), np.float32)])
-        out = self._score(hms, bbox_crop_p,
-                          jnp.asarray(pad_to(np.asarray(gt_kpts,
-                                                        np.float32), b)),
-                          jnp.asarray(bb_ann),
-                          jnp.asarray(pad_to(np.asarray(is_prev), b)),
-                          jnp.asarray(pad_to(np.asarray(is_next), b)),
-                          ae_variables if ae_variables is not None
-                          else {"params": {}}, aux_params)
+        out = self._score(self._shard(hms), self._shard(bbox_crop_p),
+                          self._shard(jnp.asarray(
+                              pad_to(np.asarray(gt_kpts, np.float32), b))),
+                          self._shard(jnp.asarray(bb_ann)),
+                          self._shard(jnp.asarray(
+                              pad_to(np.asarray(is_prev), b))),
+                          self._shard(jnp.asarray(
+                              pad_to(np.asarray(is_next), b))),
+                          self._repl(ae_variables
+                                     if ae_variables is not None
+                                     else {"params": {}}),
+                          self._shard(aux_params))
         res = {k: np.asarray(v)[:n] for k, v in out.items()}
         res["embeddings"] = np.asarray(embs)
         res["bbox_crop"] = np.asarray(bbox_crop)

@@ -70,6 +70,9 @@ def parse_args(argv=None):
                         "domain gap vs the pre-training fixture")
     p.add_argument("--synth_size", type=int, nargs=2, default=[320, 240],
                    metavar=("W", "H"))
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the scoring pass over all local devices "
+                        "(DP mesh; the reference's DataParallel analog)")
     p.add_argument("--checkpoint_state", action="store_true",
                    help="checkpoint the AL state every round "
                         "(work_dir/al_state.pkl)")
