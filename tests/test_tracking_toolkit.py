@@ -201,3 +201,74 @@ def test_ospa2_matches_toolkit_incl_occlusion_levels(scenario):
     for k in ("OSPA", "OSPA_CARD", "OSPA_LOC", "OSPA_INVI", "OSPA_OCCL",
               "OSPA_VIS"):
         assert ours[k] == pytest.approx(float(ref[k]), abs=1e-9), k
+
+
+def test_combine_sequences_matches_toolkit():
+    """Dataset-level aggregation over two sequences vs the toolkit's own
+    combine_sequences (HOTA counter-sum + TP-weighted AssA; CLEAR/Identity
+    counter sums; OSPA2 average)."""
+    HOTA, CLEAR, Identity, OSPA2 = _import_toolkit()
+    from vatl4pose_tpu.eval.tracking import (clear, combine_sequences,
+                                             evaluate_tracking, hota,
+                                             identity)
+
+    scen1 = _scenario(seed=0)
+    scen2 = _scenario(seed=9, T=6, n_gt=3, n_pr=3, drop=0.15, noise=9.0)
+
+    ours = combine_sequences({
+        "s1": evaluate_tracking(*scen1),
+        "s2": evaluate_tracking(*scen2),
+    })
+
+    mh, mc, mi, mo = HOTA(), CLEAR(), Identity(), OSPA2()
+    d1, d2 = _toolkit_data(*scen1), _toolkit_data(*scen2)
+    ref_h = mh.combine_sequences({"s1": mh.eval_sequence(d1),
+                                  "s2": mh.eval_sequence(d2)})
+    ref_c = mc.combine_sequences({"s1": mc.eval_sequence(d1),
+                                  "s2": mc.eval_sequence(d2)})
+    ref_i = mi.combine_sequences({"s1": mi.eval_sequence(d1),
+                                  "s2": mi.eval_sequence(d2)})
+    ref_o = mo.combine_sequences({"s1": mo.eval_sequence(d1),
+                                  "s2": mo.eval_sequence(d2)})
+
+    assert ours["HOTA"] == pytest.approx(float(np.mean(ref_h["HOTA"])),
+                                         abs=1e-9)
+    assert ours["DetA"] == pytest.approx(float(np.mean(ref_h["DetA"])),
+                                         abs=1e-9)
+    assert ours["AssA"] == pytest.approx(float(np.mean(ref_h["AssA"])),
+                                         abs=1e-9)
+    assert ours["MOTA"] == pytest.approx(ref_c["MOTA"], abs=1e-9)
+    assert ours["MOTP"] == pytest.approx(ref_c["MOTP_sum"]
+                                         / max(1, ref_c["CLR_TP"]),
+                                         abs=1e-9)
+    assert ours["IDSW"] == ref_c["IDSW"]
+    for k in ("IDTP", "IDFN", "IDFP"):
+        assert ours[k] == pytest.approx(ref_i[k], abs=1e-9)
+    for k in ("OSPA", "OSPA_CARD", "OSPA_LOC", "OSPA_INVI", "OSPA_OCCL",
+              "OSPA_VIS"):
+        assert ours[k] == pytest.approx(float(ref_o[k]), abs=1e-9), k
+
+
+def test_pose_track_eval_cli_dataset_mode(tmp_path):
+    """The CLI's tracker-folder layout: per-sequence table + COMBINED row
+    + json payload."""
+    import json as _json
+
+    from vatl4pose_tpu.cli.pose_track_eval import main
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pr_dir.mkdir()
+    for i, seed in enumerate((0, 9)):
+        gt, pr = _scenario(seed=seed)
+        (gt_dir / f"seq{i}.json").write_text(_json.dumps(gt))
+        (pr_dir / f"seq{i}.json").write_text(_json.dumps(
+            {"images": gt["images"], "annotations": pr}))
+    out = tmp_path / "res.json"
+    per_seq, combined = main(["--gt", str(gt_dir), "--pred", str(pr_dir),
+                              "--out", str(out)])
+    assert set(per_seq) == {"seq0", "seq1"}
+    payload = _json.loads(out.read_text())
+    assert payload["combined"]["HOTA"] == pytest.approx(combined["HOTA"])
+    assert "OSPA_VIS" in payload["combined"]

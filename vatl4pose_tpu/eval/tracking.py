@@ -103,8 +103,15 @@ def hota(gt_data, pr_data) -> Dict[str, float]:
             pot[np.ix_(g_ids, p_ids)] += (sim >= 0.5 - np.finfo(float).eps)
     glob = pot / np.maximum(1.0, gt_cnt[:, None] + pr_cnt[None, :] - pot)
 
-    res = {"HOTA": 0.0, "DetA": 0.0, "AssA": 0.0}
-    for alpha in alphas:
+    n_alpha = len(alphas)
+    res = {"HOTA": 0.0, "DetA": 0.0, "AssA": 0.0,
+           # per-alpha counters — what combine_sequences aggregates
+           # (the toolkit sums HOTA_TP/FN/FP and TP-weights AssA,
+           # hota.py:157-169)
+           "HOTA_TP": np.zeros(n_alpha), "HOTA_FN": np.zeros(n_alpha),
+           "HOTA_FP": np.zeros(n_alpha), "AssA_arr": np.zeros(n_alpha),
+           "DetA_arr": np.zeros(n_alpha), "HOTA_arr": np.zeros(n_alpha)}
+    for ai, alpha in enumerate(alphas):
         tp = fn = fp = 0
         match_count = np.zeros((n_gt, n_pr))
         for g_ids, p_ids, sim in frames:
@@ -127,9 +134,15 @@ def hota(gt_data, pr_data) -> Dict[str, float]:
             ass_a = float(np.sum(match_count * ass_per) / tp)
         else:
             ass_a = 0.0
-        res["DetA"] += det_a / len(alphas)
-        res["AssA"] += ass_a / len(alphas)
-        res["HOTA"] += np.sqrt(det_a * ass_a) / len(alphas)
+        res["HOTA_TP"][ai] = tp
+        res["HOTA_FN"][ai] = fn
+        res["HOTA_FP"][ai] = fp
+        res["DetA_arr"][ai] = det_a
+        res["AssA_arr"][ai] = ass_a
+        res["HOTA_arr"][ai] = np.sqrt(det_a * ass_a)
+        res["DetA"] += det_a / n_alpha
+        res["AssA"] += ass_a / n_alpha
+        res["HOTA"] += np.sqrt(det_a * ass_a) / n_alpha
     return res
 
 
@@ -168,7 +181,8 @@ def clear(gt_data, pr_data, threshold: float = 0.5) -> Dict[str, float]:
             fp += len(p_ids)
     num_gt_dets = tp + fn
     mota = 1 - (fn + fp + idsw) / max(1, num_gt_dets)
-    return {"MOTA": mota, "MOTP": motp_sum / max(1, tp), "IDSW": idsw,
+    return {"MOTA": mota, "MOTP": motp_sum / max(1, tp),
+            "MOTP_sum": motp_sum, "IDSW": idsw,
             "CLR_TP": tp, "CLR_FN": fn, "CLR_FP": fp}
 
 
@@ -278,4 +292,51 @@ def evaluate_tracking(gt_data, pr_data) -> Dict[str, float]:
     out.update(clear(gt_data, pr_data))
     out.update(identity(gt_data, pr_data))
     out.update(ospa2(gt_data, pr_data))
+    return out
+
+
+def combine_sequences(per_seq: Dict[str, Dict[str, float]]
+                      ) -> Dict[str, float]:
+    """Dataset-level aggregation over per-sequence results — the toolkit's
+    combine_sequences semantics (hota.py:157-169: sum per-alpha counters,
+    TP-weighted AssA; clear.py:130-136 / identity.py:119-124: sum counters,
+    recompute finals; ospa2.py combine: plain average)."""
+    seqs = list(per_seq.values())
+    out: Dict[str, float] = {}
+
+    # HOTA: per-alpha counter sums + TP-weighted association average
+    tp = np.sum([s["HOTA_TP"] for s in seqs], axis=0)
+    fn = np.sum([s["HOTA_FN"] for s in seqs], axis=0)
+    fp = np.sum([s["HOTA_FP"] for s in seqs], axis=0)
+    ass = np.sum([np.asarray(s["AssA_arr"]) * np.asarray(s["HOTA_TP"])
+                  for s in seqs], axis=0) / np.maximum(1e-10, tp)
+    det = tp / np.maximum(1, tp + fn + fp)
+    out["HOTA"] = float(np.mean(np.sqrt(det * ass)))
+    out["DetA"] = float(np.mean(det))
+    out["AssA"] = float(np.mean(ass))
+
+    # CLEAR: summed counters -> finals
+    c_tp = sum(s["CLR_TP"] for s in seqs)
+    c_fn = sum(s["CLR_FN"] for s in seqs)
+    c_fp = sum(s["CLR_FP"] for s in seqs)
+    idsw = sum(s["IDSW"] for s in seqs)
+    motp_sum = sum(s["MOTP_sum"] for s in seqs)
+    out["MOTA"] = 1 - (c_fn + c_fp + idsw) / max(1, c_tp + c_fn)
+    out["MOTP"] = motp_sum / max(1, c_tp)
+    out["IDSW"] = idsw
+    out["CLR_TP"], out["CLR_FN"], out["CLR_FP"] = c_tp, c_fn, c_fp
+
+    # Identity: summed counters -> IDF1
+    idtp = sum(s["IDTP"] for s in seqs)
+    idfn = sum(s["IDFN"] for s in seqs)
+    idfp = sum(s["IDFP"] for s in seqs)
+    out["IDF1"] = idtp / max(1e-9, idtp + 0.5 * idfn + 0.5 * idfp)
+    out["IDTP"], out["IDFN"], out["IDFP"] = idtp, idfn, idfp
+
+    # OSPA2 family: sequence average (ospa2.py _combine_average)
+    for k in ("OSPA", "OSPA_CARD", "OSPA_LOC", "OSPA_INVI", "OSPA_OCCL",
+              "OSPA_VIS"):
+        vals = [s[k] for s in seqs if k in s]
+        if vals:
+            out[k] = float(np.mean(vals))
     return out
