@@ -190,6 +190,19 @@ class TestRoundMetricsAndVis:
         assert len(os.listdir(thc_dir)) == n_mid
         assert len(os.listdir(wpu_dir)) == al.eval_len
         assert any(f.startswith("Coreset_round") for f in os.listdir(cl_dir))
+        # visualize_result consumes the dumps: skeleton renders + per-joint
+        # heatmap grids (scripts/visualize_result.py parity)
+        from vatl4pose_tpu.cli.visualize_result import (render_heatmaps,
+                                                        render_round)
+        root, ann = synth
+        vis_out = os.path.join(str(tmp_path), "vis")
+        render_round(str(tmp_path), root, ann, vis_out)
+        assert any(f.endswith(".png") for f in os.listdir(vis_out))
+        hm_paths = render_heatmaps(str(tmp_path),
+                                   os.path.join(vis_out, "hm"),
+                                   round_idx=0, max_samples=2)
+        assert len(hm_paths) == 2
+        assert all(os.path.exists(p) for p in hm_paths)
 
 
 @pytest.mark.slow

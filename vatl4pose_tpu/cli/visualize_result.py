@@ -40,6 +40,37 @@ def render_round(work_dir: str, dataset_root: str, ann_file: str,
     return out_dir
 
 
+def render_heatmaps(work_dir: str, out_dir: str, round_idx: int = 0,
+                    max_samples: int = 8):
+    """Per-sample joint-heatmap grids from a --vis run's dumps
+    (save_batch_heatmaps parity, scripts/visualize_result.py:100-150:
+    one row per sample, one colored panel per joint with the peak marked).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    hm_dir = os.path.join(work_dir, "heatmap", f"Round{round_idx}")
+    hms = np.load(os.path.join(hm_dir, "heatmaps.npy")).astype(np.float32)
+    ann_ids = np.load(os.path.join(hm_dir, "ann_ids.npy"))
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for j in range(min(max_samples, len(hms))):
+        K = hms.shape[1]
+        fig, axes = plt.subplots(1, K, figsize=(1.4 * K, 1.8))
+        for k in range(K):
+            ax = axes[k] if K > 1 else axes
+            ax.imshow(hms[j, k], cmap="magma")
+            y, x = np.unravel_index(np.argmax(hms[j, k]), hms[j, k].shape)
+            ax.plot(x, y, "c+", markersize=6)
+            ax.axis("off")
+        fig.suptitle(f"ann {int(ann_ids[j])} round {round_idx}")
+        path = os.path.join(out_dir, f"hm_{int(ann_ids[j])}.png")
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--work_dir", required=True,
@@ -47,9 +78,17 @@ def main(argv=None):
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--ann_file", required=True)
     p.add_argument("--out_dir", default=None)
+    p.add_argument("--heatmaps", action="store_true",
+                   help="also render per-joint heatmap grids from the "
+                        "--vis dumps (heatmap/Round*/heatmaps.npy)")
+    p.add_argument("--round", type=int, default=0)
     a = p.parse_args(argv)
     out = a.out_dir or os.path.join(a.work_dir, "vis")
     print(render_round(a.work_dir, a.dataset_root, a.ann_file, out))
+    if a.heatmaps:
+        for pth in render_heatmaps(a.work_dir, os.path.join(out, "heatmaps"),
+                                   a.round):
+            print(pth)
 
 
 if __name__ == "__main__":
