@@ -5,6 +5,17 @@ throughput — the hot path of eval_and_query (ActiveLearning.py:273-429),
 SimplePose-R50 over 256x192 crops in bf16 plus the fused scoring stage
 (decode, OKS, THC shifted-gather, local-peak combine weight).
 
+Timing methodology (IMPORTANT): on the axon-tunnelled TPU,
+`block_until_ready()` does NOT synchronize (measured here: an 8192^3 bf16
+matmul "completed" in 0.20 ms = 28x over the v5e published peak).  Every
+figure below therefore runs K chained iterations inside ONE jitted
+`lax.fori_loop` whose body consumes the carried scalar (preventing CSE and
+loop-hoisting) and whose scalar checksum is `device_get`'d; per-iteration
+time is (t[K_hi] - t[K_lo]) / (K_hi - K_lo), which cancels dispatch and
+transfer overhead.  Validated: the chained 8192^3 bf16 matmul measures
+195.1 TF/s = 99% of the v5e peak (197 TF/s).  Round-1 numbers measured with
+block_until_ready are NOT comparable.
+
 Also measured and written to BENCH_DETAIL.json:
   - f32 parity-mode throughput,
   - retrain-step throughput (fwd+bwd+AdamW, batch 120 — retrain dominates
@@ -33,19 +44,39 @@ REF_A100_SAMPLES_PER_S = 700.0       # documented estimate (see docstring)
 V5E_BF16_PEAK_FLOPS = 197e12         # TPU v5e published bf16 peak
 
 BATCH = 512
-STEPS = 8
+ITERS = 8                            # K_hi - K_lo for the chained timing
 RETRAIN_BATCH = 120
 
 
-def _bench(fn, *args, steps=STEPS):
+def _flops(compiled):
+    c = compiled.cost_analysis()
+    c = c[0] if isinstance(c, (list, tuple)) else c
+    try:
+        return float(c.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _bench_chain(make_loop, *args, iters=ITERS):
+    """Per-iteration wall time of the K-chained loop (see module docstring).
+
+    Returns (seconds_per_iter, flops_per_iter); flops via the difference of
+    XLA cost analyses of the two loop programs, cancelling setup work."""
     import jax
-    jax.block_until_ready(fn(*args))          # compile
+    lo, hi = make_loop(2), make_loop(2 + iters)
+    c_lo = lo.lower(*args).compile()
+    c_hi = hi.lower(*args).compile()
+    jax.device_get(c_lo(*args))
+    jax.device_get(c_hi(*args))
     t0 = time.perf_counter()
-    out = None
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    jax.device_get(c_lo(*args))
+    d_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(c_hi(*args))
+    d_hi = time.perf_counter() - t0
+    dt = (d_hi - d_lo) / iters
+    fl = max(0.0, (_flops(c_hi) - _flops(c_lo)) / iters)
+    return dt, fl
 
 
 def main():
@@ -53,6 +84,7 @@ def main():
     from vatl4pose_tpu.utils.runtime import setup_jax_cache
     setup_jax_cache()
     import jax.numpy as jnp
+    from jax import lax
     from vatl4pose_tpu.models import SimplePose
     from vatl4pose_tpu.models.criterion import masked_heatmap_loss
     from vatl4pose_tpu.ops import (compute_oks, heatmap_to_coord,
@@ -67,7 +99,8 @@ def main():
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 192, 3), jnp.float32)))
-    variables = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), shapes)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.normal(0, 0.05, a.shape), a.dtype), shapes)
     var_bf16 = jax.tree.map(
         lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
         variables)
@@ -78,9 +111,40 @@ def main():
                          jnp.float32)
     ones = jnp.asarray(np.ones(BATCH, bool))
 
-    def make_step(m):
-        def step(variables, x):
-            hm = m.apply(variables, x)
+    def make_score_loop(K):
+        @jax.jit
+        def loop(variables, x):
+            def body(i, acc):
+                # the carried scalar feeds the input: serializes iterations
+                xi = x * (1 + acc * 1e-20).astype(x.dtype)
+                hm = model.apply(variables, xi)
+                hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
+                coords, scores = heatmap_to_coord(hm, bbox)
+                kpts = jnp.concatenate([coords, scores[..., None]],
+                                       -1).reshape(BATCH, -1)
+                oks = compute_oks(kpts, gt, bb_ann)
+                thc = thc_scores(hm, ones, ones)
+                gc = localpeak_mean(hm)
+                return acc + (oks.sum() + thc.sum() + gc.sum()
+                              + coords.mean())
+            return lax.fori_loop(0, K, body, jnp.float32(0))
+        return loop
+
+    # bf16 serving path (decode/scoring stay f32)
+    dt_bf16, fl_step = _bench_chain(make_score_loop, var_bf16,
+                                    x32.astype(jnp.bfloat16))
+    fps = BATCH / dt_bf16
+    detail["score_bf16_samples_per_s"] = round(fps, 1)
+
+    # f32 parity mode
+    dt_f32, _ = _bench_chain(make_score_loop, variables, x32)
+    detail["score_f32_samples_per_s"] = round(BATCH / dt_f32, 1)
+
+    if fl_step <= 0:
+        # XLA's cost analysis doesn't always attribute while-loop body flops
+        # by trip count — fall back to costing one unchained step
+        def one_step(variables, x):
+            hm = model.apply(variables, x)
             hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
             coords, scores = heatmap_to_coord(hm, bbox)
             kpts = jnp.concatenate([coords, scores[..., None]],
@@ -89,33 +153,15 @@ def main():
             thc = thc_scores(hm, ones, ones)
             gc = localpeak_mean(hm)
             return coords, oks, thc, gc
-        return step
+        fl_step = _flops(jax.jit(one_step).lower(
+            var_bf16, x32.astype(jnp.bfloat16)).compile())
+    if fl_step > 0:
+        detail["score_step_tflops"] = round(fl_step / 1e12, 2)
+        detail["score_bf16_mfu_vs_v5e_peak"] = round(
+            fl_step / dt_bf16 / V5E_BF16_PEAK_FLOPS, 3)
 
-    step = jax.jit(make_step(model))
-
-    # bf16 serving path (decode/scoring stay f32)
-    dt_bf16 = _bench(step, var_bf16, x32.astype(jnp.bfloat16))
-    fps = BATCH / dt_bf16
-    detail["score_bf16_samples_per_s"] = round(fps, 1)
-
-    # f32 parity mode
-    dt_f32 = _bench(step, variables, x32)
-    detail["score_f32_samples_per_s"] = round(BATCH / dt_f32, 1)
-
-    # MFU: XLA-reported flops of the compiled program / wall / peak
-    try:
-        cost = step.lower(var_bf16,
-                          x32.astype(jnp.bfloat16)).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            detail["score_step_tflops"] = round(flops / 1e12, 2)
-            detail["score_bf16_mfu_vs_v5e_peak"] = round(
-                flops / dt_bf16 / V5E_BF16_PEAK_FLOPS, 3)
-    except Exception as e:                      # cost analysis is best-effort
-        detail["cost_analysis_error"] = str(e)
-
-    # retrain step: fwd+bwd+per-group AdamW at the production batch size
+    # retrain step: fwd+bwd+per-group AdamW at the production batch size;
+    # the param/opt-state carry serializes iterations by construction
     model_t = SimplePose(num_joints=17, num_layers=50, train=True)
     update_fn, group_of = build_optimizer(
         {"OPTIMIZER": "AdamW", "LR": 2.5e-4, "WEIGHT_DECAY": 0.7},
@@ -128,7 +174,6 @@ def main():
     tw = jnp.ones((RETRAIN_BATCH, 17), jnp.float32)
     valid = jnp.ones((RETRAIN_BATCH,), bool)
 
-    @jax.jit
     def train_step(variables, opt_state, x):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
@@ -146,12 +191,26 @@ def main():
                                         jnp.asarray(2.5e-4), mults)
         return {"params": new_params, **new_state}, new_opt, loss
 
-    dt_tr = _bench(train_step, variables, opt_state, xr, steps=4)
+    def make_train_loop(K):
+        @jax.jit
+        def loop(variables, opt_state, x):
+            def body(i, carry):
+                v, o, acc = carry
+                v, o, loss = train_step(v, o, x)
+                return (v, o, acc + loss)
+            return lax.fori_loop(0, K, body,
+                                 (variables, opt_state, jnp.float32(0)))[2]
+        return loop
+
+    dt_tr, _ = _bench_chain(make_train_loop, variables, opt_state, xr,
+                            iters=4)
     detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
     detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
 
     # full-cycle estimate at production shape: score a 512-sample video +
-    # one coreset selection + one retrain epoch over 120 samples
+    # one coreset selection + one retrain epoch over 120 samples.
+    # coreset_selection returns host ints (device_get inside) so plain
+    # wall-clock around it is already honest.
     from vatl4pose_tpu.al.selection import coreset_selection
     emb = rng.normal(0, 1, (BATCH, 2048)).astype(np.float32)
     unc = rng.uniform(size=BATCH).astype(np.float32)
@@ -164,6 +223,10 @@ def main():
     detail["full_cycle_s_512_samples"] = round(
         dt_bf16 + detail["coreset_select_s_warm"] + dt_tr, 3)
 
+    detail["timing_methodology"] = (
+        "chained lax.fori_loop + scalar-checksum device_get "
+        "(block_until_ready does not sync through the axon tunnel; "
+        "method validated at 99% of v5e peak on an 8192^3 bf16 matmul)")
     detail["same_host_cpu_ab_speedup_measured"] = 3.32
     detail["ref_anchor"] = {
         "a100_estimate_samples_per_s": REF_A100_SAMPLES_PER_S,
