@@ -174,13 +174,20 @@ def main():
     tw = jnp.ones((RETRAIN_BATCH, 17), jnp.float32)
     valid = jnp.ones((RETRAIN_BATCH,), bool)
 
-    def train_step(variables, opt_state, x):
+    def train_step(variables, opt_state, x, bf16=False):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
-            out, new_state = model_t.apply({"params": p, **rest}, x,
-                                           mutable=["batch_stats"])
+            if bf16:   # mixed precision: bf16 compute, f32 master weights
+                p = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, p)
+            out, new_state = model_t.apply(
+                {"params": p, **rest},
+                x.astype(jnp.bfloat16) if bf16 else x,
+                mutable=["batch_stats"])
+            out = out.astype(jnp.float32)
             return masked_heatmap_loss(out, target, tw[:, None, None, :],
                                        valid=valid), new_state
 
@@ -191,12 +198,12 @@ def main():
                                         jnp.asarray(2.5e-4), mults)
         return {"params": new_params, **new_state}, new_opt, loss
 
-    def make_train_loop(K):
+    def make_train_loop(K, bf16=False):
         @jax.jit
         def loop(variables, opt_state, x):
             def body(i, carry):
                 v, o, acc = carry
-                v, o, loss = train_step(v, o, x)
+                v, o, loss = train_step(v, o, x, bf16)
                 return (v, o, acc + loss)
             return lax.fori_loop(0, K, body,
                                  (variables, opt_state, jnp.float32(0)))[2]
@@ -206,6 +213,12 @@ def main():
                             iters=4)
     detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
     detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
+
+    # mixed-precision retrain (RETRAIN.BF16 / --speedup in the AL loop)
+    dt_trb, _ = _bench_chain(lambda K: make_train_loop(K, True),
+                             variables, opt_state, xr, iters=4)
+    detail["retrain_bf16_samples_per_s"] = round(RETRAIN_BATCH / dt_trb, 1)
+    detail["retrain_bf16_step_ms"] = round(dt_trb * 1e3, 1)
 
     # full-cycle estimate at production shape: score a 512-sample video +
     # one coreset selection + one retrain epoch over 120 samples.

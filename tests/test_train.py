@@ -2,6 +2,7 @@
 losses, accuracy metric, schedules."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -224,9 +225,12 @@ class TestRetrainBatchNormSafety:
 
 
 class TestRetrainLearns:
-    def test_loss_drops_and_accuracy_rises(self, tmp_path):
+    @pytest.mark.parametrize("bf16", [False, True])
+    def test_loss_drops_and_accuracy_rises(self, tmp_path, bf16):
         """Fast learning check on the device retrain path: loss decreases
-        and heatmap-argmax accuracy (calc_accuracy) rises over epochs."""
+        and heatmap-argmax accuracy (calc_accuracy) rises over epochs.
+        bf16=True exercises the mixed-precision step (bf16 compute, f32
+        master weights) — it must also learn, and keep params in f32."""
         import jax
         import jax.numpy as jnp
         from vatl4pose_tpu.config import Cfg
@@ -253,7 +257,8 @@ class TestRetrainLearns:
                             "SimplePose", input_size=(64, 64),
                             hm_size=(16, 16), sigma=2.0,
                             aug=AugCfg(scale_factor=0.0, rot_factor=0,
-                                       flip=False), joint_pairs=[])
+                                       flip=False), joint_pairs=[],
+                            bf16=bf16)
         opt_state = trainer.init_opt_state(variables["params"])
         frames = jax.device_put(ds.load_frames())
         idx = np.arange(len(ds.data))
@@ -267,3 +272,6 @@ class TestRetrainLearns:
         assert losses[-1] < losses[0] * 0.8, losses
         assert accs[-1] > accs[0], accs
         assert accs[-1] > 0.1, accs
+        # master weights stay f32 regardless of compute precision
+        assert all(l.dtype == jnp.float32 for l in
+                   jax.tree.leaves(variables["params"]))

@@ -136,7 +136,8 @@ class ActiveLearning:
                 num_joints_half_body=aug_cfg.get("NUM_JOINTS_HALF_BODY", 8),
                 prob_half_body=aug_cfg.get("PROB_HALF_BODY", -1)),
             joint_pairs=self.dataset.joint_pairs,
-            seed=getattr(opt, "seed", 166) or 166)
+            seed=getattr(opt, "seed", 166) or 166,
+            bf16=bool(getattr(opt, "speedup", False)))
         self.opt_state = self.retrainer.init_opt_state(
             self.variables["params"])
         self.retrain_epoch = cfg.RETRAIN.BASE
