@@ -99,6 +99,16 @@ class TestSchedules:
         assert abs(lr(120) - 1e-5) < 1e-15
         assert abs(lr(200) - 1e-5) < 1e-15
 
+    def test_warmup(self):
+        lr = O.with_warmup(O.multistep_lr(1e-3, [90], 0.1), 10)
+        assert abs(lr(0) - 1e-4) < 1e-15         # (0+1)/10 of base
+        assert abs(lr(4) - 5e-4) < 1e-15
+        assert lr(9) == 1e-3                     # warmup complete
+        assert lr(50) == 1e-3                    # no effect after warmup
+        assert abs(lr(90) - 1e-4) < 1e-12        # milestones still apply
+        base = O.multistep_lr(1e-3, [90], 0.1)
+        assert O.with_warmup(base, 0) is base    # disabled => untouched
+
 
 class TestLosses:
     def test_masked_mse_matches_torch_call_site(self):

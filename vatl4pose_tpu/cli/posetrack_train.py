@@ -55,7 +55,7 @@ def train(cfg, opt):
     from ..data.pipeline import AugCfg
     from ..eval.cocoeval import evaluate_map
     from ..models import build_sppe
-    from ..train.optim import multistep_lr
+    from ..train.optim import multistep_lr, with_warmup
     from ..train.retrain import Retrainer
     from ..al.scoring import ScoringConfig, ScoringEngine
 
@@ -116,8 +116,10 @@ def train(cfg, opt):
                                 dataset.joint_pairs, cfg.TRAIN.BATCH_SIZE,
                                 seed=opt.seed)
     opt_state = trainer.init_opt_state(variables["params"])
-    lr_fn = multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.LR_STEP,
-                         cfg.TRAIN.get("LR_FACTOR", 0.1))
+    warmup = cfg.TRAIN.get("WARMUP_EPOCHS", 0)
+    lr_fn = with_warmup(multistep_lr(cfg.TRAIN.LR, cfg.TRAIN.LR_STEP,
+                                     cfg.TRAIN.get("LR_FACTOR", 0.1)),
+                        warmup)
     begin = cfg.TRAIN.BEGIN_EPOCH
     end = opt.epochs_override or cfg.TRAIN.END_EPOCH
     os.makedirs(opt.work_dir, exist_ok=True)

@@ -145,6 +145,21 @@ def multistep_lr(base_lr: float, milestones, factor: float):
     return lr
 
 
+def with_warmup(lr_fn, warmup_epochs: int):
+    """Linear epoch-level LR warmup: scale lr_fn by (epoch+1)/warmup for the
+    first `warmup_epochs` epochs.
+
+    The reference never needs this because its backbones always start from
+    torchvision ImageNet weights (alphapose/models/simplepose.py:23-31); when
+    training truly from scratch (no pretrained weights available), the first
+    full-LR Adam steps reliably collapse the head into the degenerate
+    all-zero-heatmap basin (loss plateau ~1.8e-3, PCK ~0), from which escape
+    is slow and seed-dependent.  Config-gated via TRAIN.WARMUP_EPOCHS."""
+    if warmup_epochs <= 0:
+        return lr_fn
+    return lambda epoch: lr_fn(epoch) * min(1.0, (epoch + 1) / warmup_epochs)
+
+
 def build_optimizer(retrain_cfg, model_type: str):
     """Optimizer from a RETRAIN config section (ActiveLearning.py:220-231)."""
     name = retrain_cfg["OPTIMIZER"]
