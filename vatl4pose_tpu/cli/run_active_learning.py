@@ -31,7 +31,11 @@ def parse_args(argv=None):
                         "programs (bucketed shapes) are reused across them")
     p.add_argument("--wunc", type=float, default=0.01)
     p.add_argument("--retrain_thresh", type=float, default=1)
-    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="dataset smoke info + a jax.profiler device trace "
+                        "of the first AL cycle under work_dir/trace (the "
+                        "reference's opt.profile analog, "
+                        "Run_active_learning.py:100-103)")
     p.add_argument("--speedup", action="store_true",
                    help="bf16 matmuls on the forward path (not reproducible "
                         "vs parity mode)")
@@ -40,7 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--memo", type=str, default="test")
     p.add_argument("--from_scratch", action="store_true")
     p.add_argument("--onebyone", action="store_true")
-    p.add_argument("--stopping", action="store_true")
+    p.add_argument("--stopping", action="store_true",
+                   help="accepted for CLI parity; parsed but never consumed "
+                        "in the reference either (Run_active_learning.py:75 "
+                        "— stopping criteria are always tracked, "
+                        "ActiveLearning.py:707-725)")
     p.add_argument("--continual", action="store_true")
     p.add_argument("--optimize", action="store_true")
     p.add_argument("--search", choices=["tpe", "grid"], default="tpe",
@@ -185,7 +193,14 @@ def do_al(cfg, opt):
     cycles = 0
     while True:
         tc = time.time()
-        al.eval_and_query()
+        if cycles == 0 and getattr(opt, "verbose", False):
+            # opt.profile analog (Run_active_learning.py:100-103): device
+            # trace of the first scoring+selection cycle
+            from ..utils.profiling import trace
+            with trace(os.path.join(opt.work_dir, "trace")):
+                al.eval_and_query()
+        else:
+            al.eval_and_query()
         result = al.outcome()
         cycles += 1
         print(f"[cycle {cycles}] wall {time.time() - tc:.2f}s", flush=True)
