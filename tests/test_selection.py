@@ -58,6 +58,21 @@ class TestCoreset:
         assert got[0] == int(np.argmax(unc))
         assert len(set(got)) == 5  # no repeats (selected unc zeroed, dist 0)
 
+    def test_degenerate_ties_still_fill_the_query(self):
+        """bf16 regression: when embeddings collapse to identical rows every
+        score ties at 0 after the first pick, and an unmasked argmax
+        re-picks the same index (or an already-labeled one) forever — the
+        query list then collapses on dedupe and the AL loop stalls below
+        100% labeled.  Distinct not-yet-picked unlabeled picks are the
+        reference's stated invariant (ActiveLearning.py:845)."""
+        emb = np.ones((40, 16), np.float32)          # all identical
+        unc = np.zeros(40)
+        labeled = [0, 1, 2]
+        got = S.coreset_selection(emb, unc.copy(), labeled, 10, 0.01, 0.7,
+                                  mode="dynamic")
+        assert len(set(got)) == 10                   # all distinct
+        assert not set(got) & set(labeled)           # none already labeled
+
 
 class TestInfluence:
     def test_matches_sklearn_knn_rowsums(self):

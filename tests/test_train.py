@@ -171,6 +171,42 @@ class TestAccuracy:
                                    ref_acc(preds, labels), rtol=1e-6)
 
 
+class TestAETrainerScan:
+    def test_scan_matches_per_step_loop(self):
+        """The AE_CHUNK-fused scan (incl. no-op padding of the last chunk)
+        must produce exactly the same weights as stepping the jitted
+        per-step program with the same shuffled batches."""
+        from vatl4pose_tpu.models import build_wholebody_ae
+        from vatl4pose_tpu.train.retrain import AETrainer
+        from vatl4pose_tpu.data.pipeline import pad_to
+
+        cfg = {"Z_DIM": 4}
+        model = build_wholebody_ae(cfg)
+        feats = RNG.normal(0, 0.3, (37, 38)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 38)))
+
+        t = AETrainer(model, lr=1e-3, epochs=2, batch_size=10, seed=318)
+        got = t.train(variables, feats)
+
+        # reference: identical batch schedule through the per-step program
+        ref = AETrainer(model, lr=1e-3, epochs=2, batch_size=10, seed=318)
+        vars_r = variables
+        opt_state = O.init_state(vars_r["params"])
+        for _ in range(2):
+            order = ref.rng.permutation(len(feats))
+            for s in range(0, len(feats), 10):
+                sel = order[s:s + 10]
+                fb = pad_to(feats[sel], 10)
+                valid = np.zeros(10, np.float32)
+                valid[:len(sel)] = 1.0
+                vars_r, opt_state, _ = ref._step(
+                    vars_r, opt_state, jnp.asarray(fb), jnp.asarray(valid),
+                    jnp.asarray(1e-3, jnp.float32))
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(vars_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+
 class TestRetrainBatchNormSafety:
     def test_tiny_retrain_set_does_not_poison_batch_stats(self, tmp_path):
         """Regression: retraining 2 samples at BATCH_SIZE 32 must not wreck

@@ -241,25 +241,40 @@ def _coreset_run(emb, unc0, valid, li, moks, lam, first_idx, *, mode,
             return md
 
     def body(i, state):
-        min_d, unc, picks = state
+        min_d, unc, taken, picks = state
+        # a previously picked item has min_dist 0 and unc 0, so the
+        # reference expects it can never win again (ActiveLearning.py:845
+        # comment) — but when scores degenerate to ties (e.g. bf16
+        # embeddings collapsing many samples to identical values) argmax
+        # re-picks the same index forever and the query list collapses on
+        # dedupe.  Enforce the reference's stated invariant with an
+        # explicit mask: pick only among not-yet-picked valid items.
+        ok = valid & ~taken
         # first pick with no labeled centers: argmax(unc) (or a preselected
         # random index for 'plain' mode)
         no_centers = (jnp.where(valid, min_d, jnp.inf) == jnp.inf).all()
-        ind_unc = jnp.argmax(jnp.where(valid, unc, -jnp.inf))
+        ind_unc = jnp.argmax(jnp.where(ok, unc, -jnp.inf))
         # evaluate the score on sanitized inputs then mask the padding —
         # -inf arithmetic (e.g. 0 * -inf) breeds NaNs that win argmax
         sc = score(jnp.where(valid, min_d, 0.0), jnp.where(valid, unc, 0.0))
-        ind_score = jnp.argmax(jnp.where(valid, sc, -jnp.inf))
+        ind_score = jnp.argmax(jnp.where(ok, sc, -jnp.inf))
         ind = jnp.where(no_centers,
                         first_idx if first_random else ind_unc, ind_score)
         # exact per-center distances (avoids the a²+b²-2ab cancellation)
         dn = jnp.sqrt(jnp.sum(jnp.square(emb - emb[ind]), axis=1))
         min_d = jnp.where(valid, jnp.minimum(min_d, dn), -jnp.inf)
         unc = unc.at[ind].set(0.0)
+        taken = taken.at[ind].set(True)
         picks = picks.at[i].set(ind)
-        return (min_d, unc, picks)
+        return (min_d, unc, taken, picks)
 
     picks0 = jnp.zeros((query_size,), jnp.int32)
-    _, _, picks = jax.lax.fori_loop(0, query_size, body,
-                                    (init_min, unc0, picks0))
+    # initial centers are masked too: a labeled sample scores exactly 0
+    # (min_dist 0, unc 0), which ties with degenerate candidates and can
+    # win argmax — re-querying it would be a no-op for the labeled set
+    taken0 = jnp.zeros(emb.shape[0], bool)
+    if have_labeled:
+        taken0 = taken0.at[li].set(True)
+    _, _, _, picks = jax.lax.fori_loop(0, query_size, body,
+                                       (init_min, unc0, taken0, picks0))
     return picks

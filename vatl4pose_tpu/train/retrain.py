@@ -20,8 +20,27 @@ from ..data.pipeline import AugCfg, pad_to, train_sample_geometry
 from ..models.criterion import masked_heatmap_loss
 from ..ops.heatmap import gaussian_target
 from ..ops.warp import RGB_MEAN, warp_affine_bilinear
-from ..utils.metrics import DataLogger, calc_accuracy
+from ..utils.metrics import _acc_impl
 from .optim import build_optimizer, init_state, lr_multiplier_tree
+
+
+STEP_CHUNK = 16  # train steps fused into one lax.scan program
+
+
+def _weighted_stats(stats, counts):
+    """Collapse per-step device (loss, acc) rows into sample-weighted
+    averages with a single device→host transfer (DataLogger semantics,
+    metrics.py:14-32, computed at the end instead of per step).  `stats` is
+    a list of (2,) or (C, 2) device arrays; `counts` the per-row sample
+    counts (0 for padded no-op steps)."""
+    if not stats:
+        return 0.0, 0.0
+    arr = np.asarray(jnp.concatenate(
+        [jnp.atleast_2d(s) for s in stats]), np.float64)  # one fetch
+    w = np.asarray(counts, np.float64)
+    arr = np.where(w[:, None] > 0, arr, 0.0)  # padded rows: any value * 0
+    loss_avg, acc_avg = (arr * w[:, None]).sum(0) / w.sum()
+    return float(loss_avg), float(acc_avg)
 
 
 class Retrainer:
@@ -52,6 +71,7 @@ class Retrainer:
         self.rng = np.random.default_rng(seed)
         self._step = jax.jit(self._train_step)
         self._step_crops = jax.jit(self._train_step_crops)
+        self._steps_scan = jax.jit(self._train_steps_scan)
 
     def reset_schedule(self):
         self.epoch_counter = 0
@@ -74,6 +94,32 @@ class Retrainer:
         crops = jax.vmap(crop_one)(frame_idx, inv_mats)
         return self._fit_crops(params, rest, opt_state, crops, joints, vis,
                                valid, lr)
+
+    def _train_steps_scan(self, variables, opt_state, frames, frame_idx,
+                          inv_mats, joints, vis, valid, lr, upd):
+        """STEP_CHUNK train steps fused into ONE device program via
+        lax.scan (leading axis T = steps).  Dispatching through the
+        tunnelled TPU costs tens of ms per op, so the per-step jit spends
+        more wall-clock on dispatch+transfers than on compute; scanning a
+        fixed-size chunk makes retrain wall-clock track device time.  Padded
+        steps (upd=False) leave params/opt_state/batch_stats untouched via
+        a select, so any chunk shape is one compile, reused forever."""
+
+        def body(carry, xs):
+            vars_c, opt_c = carry
+            fi, m, j, v, va, l, u = xs
+            new_vars, new_opt, loss, acc = self._train_step(
+                vars_c, opt_c, frames, fi, m, j, v, va, l)
+            vars_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
+                                  new_vars, vars_c)
+            opt_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
+                                 new_opt, opt_c)
+            return (vars_c, opt_c), jnp.stack([loss, acc])
+
+        (variables, opt_state), stats = jax.lax.scan(
+            body, (variables, opt_state),
+            (frame_idx, inv_mats, joints, vis, valid, lr, upd))
+        return variables, opt_state, stats
 
     def _train_step_crops(self, variables, opt_state, crops_u8, joints, vis,
                           valid, lr):
@@ -115,8 +161,13 @@ class Retrainer:
         new_params, opt_state = self.update_fn(params, grads, opt_state, lr,
                                                lr_mults)
         new_vars = {"params": new_params, **new_state}
+        # PCK accuracy fused into the same program (calc_accuracy would be a
+        # second dispatch + a synchronous scalar fetch per step; through the
+        # tunnelled TPU each sync costs ~100ms — more than the 55-95ms step)
         out_nkhw = jnp.transpose(out, (0, 3, 1, 2))
-        return new_vars, opt_state, loss, out_nkhw, target * tw[:, :, None, None]
+        acc = _acc_impl(out_nkhw, target * tw[:, :, None, None],
+                        jnp.float32(0.5))
+        return new_vars, opt_state, loss, acc
 
     # ---- epoch loop -------------------------------------------------------
     def retrain(self, variables, opt_state, data, frames_dev, indices,
@@ -125,7 +176,11 @@ class Retrainer:
         (VideoPoseData).  Returns (variables, opt_state)."""
         indices = np.asarray(indices, np.int64)
         bs = self.batch_size
-        loss_logger, acc_logger = DataLogger(), DataLogger()
+        # Precompute EVERY step's geometry on the host (same rng stream and
+        # order as a per-step loop), then fuse steps into STEP_CHUNK-sized
+        # lax.scan programs — retrain wall-clock tracks device time instead
+        # of per-step dispatch/transfer latency through the TPU tunnel.
+        steps = []  # (frame_idx, inv_mats, joints, vis, valid, lr, n)
         for _ in range(num_epochs):
             lr = self.base_lr * (self.gamma ** self.epoch_counter)
             order = self.rng.permutation(len(indices))
@@ -145,21 +200,37 @@ class Retrainer:
                     self.aug, self.joint_pairs, self.rng)
                 valid = np.zeros(bs, bool)
                 valid[:n] = True
-                variables, opt_state, loss, out, tgt = self._step(
-                    variables, opt_state, frames_dev,
-                    jnp.asarray(data.frame_idx[sel_p]),
-                    jnp.asarray(inv_mats),
-                    jnp.asarray(joints),
-                    jnp.asarray(vis),
-                    jnp.asarray(valid), jnp.asarray(lr, jnp.float32))
-                loss_logger.update(float(loss), n)
-                # accuracy over the cycled batch double-counts replicas of
-                # the real rows — an unbiased average, shape kept static
-                acc_logger.update(calc_accuracy(out, tgt), n)
+                steps.append((data.frame_idx[sel_p], inv_mats, joints, vis,
+                              valid, lr, n))
             self.epoch_counter += 1  # scheduler.step()
+        stats, counts = [], []
+        C = STEP_CHUNK
+        for s in range(0, len(steps), C):
+            chunk = steps[s:s + C]
+            t = len(chunk)
+            # pad the chunk with no-op replicas of its first step
+            # (upd=False masks every state update; n=0 masks the stats)
+            chunk = chunk + [chunk[0]] * (C - t)
+            upd = np.zeros(C, bool)
+            upd[:t] = True
+            fi, mats, joints, vis, valid, lrs, ns = zip(*chunk)
+            variables, opt_state, st = self._steps_scan(
+                variables, opt_state, frames_dev,
+                jnp.asarray(np.stack(fi)),
+                jnp.asarray(np.stack(mats)),
+                jnp.asarray(np.stack(joints)),
+                jnp.asarray(np.stack(vis)),
+                jnp.asarray(np.stack(valid)),
+                jnp.asarray(np.asarray(lrs), jnp.float32),
+                jnp.asarray(upd))
+            stats.append(st)
+            counts.extend([n if u else 0 for n, u in zip(ns, upd)])
+        # accuracy over the cycled batch double-counts replicas of the real
+        # rows — an unbiased average, shape kept static
+        loss_avg, acc_avg = _weighted_stats(stats, counts)
         if log:
-            log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
-        return variables, opt_state, loss_logger.avg, acc_logger.avg
+            log(f"loss: {loss_avg:.7f} | acc: {acc_avg:.4f}")
+        return variables, opt_state, loss_avg, acc_avg
 
     def retrain_streaming(self, variables, opt_state, streamer, indices,
                           num_epochs: int, log=None):
@@ -169,7 +240,7 @@ class Retrainer:
         budget (the reference's DataLoader-worker role,
         posetrack_train.py:166-167)."""
         bs = self.batch_size
-        loss_logger, acc_logger = DataLogger(), DataLogger()
+        stats, counts = [], []
         for _ in range(num_epochs):
             lr = self.base_lr * (self.gamma ** self.epoch_counter)
             for crops, joints, vis, n in streamer.epoch(indices):
@@ -180,22 +251,25 @@ class Retrainer:
                 crops = np.resize(crops, (bs,) + crops.shape[1:])
                 joints = np.resize(joints, (bs,) + joints.shape[1:])
                 vis = np.resize(vis, (bs,) + vis.shape[1:])
-                variables, opt_state, loss, out, tgt = self._step_crops(
+                variables, opt_state, loss, acc = self._step_crops(
                     variables, opt_state, jnp.asarray(crops),
                     jnp.asarray(joints),
                     jnp.asarray(vis), jnp.asarray(valid),
                     jnp.asarray(lr, jnp.float32))
-                loss_logger.update(float(loss), n)
-                acc_logger.update(calc_accuracy(out, tgt), n)
+                stats.append(jnp.stack([loss, acc]))
+                counts.append(n)
             self.epoch_counter += 1
+        loss_avg, acc_avg = _weighted_stats(stats, counts)
         if log:
-            log(f"loss: {loss_logger.avg:.7f} | acc: {acc_logger.avg:.4f}")
-        return variables, opt_state, loss_logger.avg, acc_logger.avg
+            log(f"loss: {loss_avg:.7f} | acc: {acc_avg:.4f}")
+        return variables, opt_state, loss_avg, acc_avg
 
 
 class AETrainer:
     """WPU autoencoder fine-tuning (ActiveLearning.py:905-925): Adam,
     MSE, fixed epochs, batch 10."""
+
+    AE_CHUNK = 64  # steps fused into one lax.scan program
 
     def __init__(self, ae_model, lr: float, epochs: int, batch_size: int = 10,
                  seed: int = 318):
@@ -207,6 +281,7 @@ class AETrainer:
         self.rng = np.random.default_rng(seed)
         self.update_fn = make_adam()
         self._step = jax.jit(self._train_step)
+        self._steps_scan = jax.jit(self._train_steps_scan)
 
     def _train_step(self, variables, opt_state, feats, valid, lr):
         def loss_fn(p):
@@ -219,10 +294,32 @@ class AETrainer:
                                                opt_state, lr)
         return {"params": new_params}, opt_state, loss
 
+    def _train_steps_scan(self, variables, opt_state, feats, valid, lr, upd):
+        """AE_CHUNK steps fused into one device program (same rationale as
+        Retrainer._train_steps_scan: per-step dispatch through the TPU
+        tunnel costs ~100ms while the 4-layer-MLP step itself is ~µs, so
+        the whole per-round AE fine-tune collapses to one-or-two
+        dispatches).  Padded steps (upd=False) are no-ops via a select."""
+
+        def body(carry, xs):
+            vars_c, opt_c = carry
+            f, v, u = xs
+            new_vars, new_opt, _ = self._train_step(vars_c, opt_c, f, v, lr)
+            vars_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
+                                  new_vars, vars_c)
+            opt_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
+                                 new_opt, opt_c)
+            return (vars_c, opt_c), None
+
+        (variables, opt_state), _ = jax.lax.scan(
+            body, (variables, opt_state), (feats, valid, upd))
+        return variables, opt_state
+
     def train(self, variables, features: np.ndarray):
         opt_state = init_state(variables["params"])
         n = len(features)
         bs = self.batch_size
+        steps = []
         for _ in range(self.epochs):
             order = self.rng.permutation(n)
             for s in range(0, n, bs):
@@ -230,7 +327,17 @@ class AETrainer:
                 feats = pad_to(features[sel], bs)
                 valid = np.zeros(bs, np.float32)
                 valid[:len(sel)] = 1.0
-                variables, opt_state, _ = self._step(
-                    variables, opt_state, jnp.asarray(feats),
-                    jnp.asarray(valid), jnp.asarray(self.lr, jnp.float32))
+                steps.append((feats, valid))
+        C = self.AE_CHUNK
+        for s in range(0, len(steps), C):
+            chunk = steps[s:s + C]
+            t = len(chunk)
+            chunk = chunk + [chunk[0]] * (C - t)
+            upd = np.zeros(C, bool)
+            upd[:t] = True
+            f, v = zip(*chunk)
+            variables, opt_state = self._steps_scan(
+                variables, opt_state, jnp.asarray(np.stack(f)),
+                jnp.asarray(np.stack(v)), jnp.asarray(self.lr, jnp.float32),
+                jnp.asarray(upd))
         return variables
