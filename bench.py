@@ -87,7 +87,7 @@ def main():
     from jax import lax
     from vatl4pose_tpu.models import SimplePose
     from vatl4pose_tpu.models.criterion import masked_heatmap_loss
-    from vatl4pose_tpu.ops import (compute_oks, heatmap_to_coord,
+    from vatl4pose_tpu.ops import (compute_oks, crop_batch, heatmap_to_coord,
                                    localpeak_mean, thc_scores)
     from vatl4pose_tpu.train.optim import (build_optimizer, init_state,
                                            lr_multiplier_tree)
@@ -95,7 +95,17 @@ def main():
     detail = {}
     model = SimplePose(num_joints=17, num_layers=50, train=False)
     rng = np.random.default_rng(0)
-    x32 = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.float32)
+    # the WHOLE device pipeline is measured from decoded full frames:
+    # crop_batch (separable MXU warp + normalize) -> forward -> decode ->
+    # OKS/THC/G_c.  Earlier rounds benched from pre-made crops, which hid
+    # the warp: the old gather-based warp cost ~2.9 ms/crop (more than the
+    # model forward) and dominated the real score phase.
+    frames = jnp.asarray(rng.uniform(0, 255, (80, 240, 320, 3)), jnp.float32)
+    frame_idx = jnp.asarray(rng.integers(0, 80, BATCH))
+    raw_bbox = jnp.asarray(
+        np.stack([rng.uniform(0, 100, BATCH), rng.uniform(0, 80, BATCH),
+                  rng.uniform(150, 300, BATCH), rng.uniform(120, 230, BATCH)],
+                 1), jnp.float32)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 192, 3), jnp.float32)))
@@ -104,22 +114,24 @@ def main():
     var_bf16 = jax.tree.map(
         lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
         variables)
-    bbox = jnp.asarray(
-        np.tile([[10.0, 20.0, 106.0, 148.0]], (BATCH, 1)), jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 200, (BATCH, 51)), jnp.float32)
     bb_ann = jnp.asarray(np.tile([[10.0, 20.0, 96.0, 128.0]], (BATCH, 1)),
                          jnp.float32)
     ones = jnp.asarray(np.ones(BATCH, bool))
 
-    def make_score_loop(K):
+    def make_score_loop(K, bf16=True):
         @jax.jit
-        def loop(variables, x):
+        def loop(variables, frames):
             def body(i, acc):
                 # the carried scalar feeds the input: serializes iterations
-                xi = x * (1 + acc * 1e-20).astype(x.dtype)
-                hm = model.apply(variables, xi)
+                fr = frames * (1 + acc * 1e-20)
+                crops, bbox_crop = crop_batch(fr, frame_idx, raw_bbox,
+                                              (256, 192))
+                hm = model.apply(variables,
+                                 crops.astype(jnp.bfloat16) if bf16
+                                 else crops)
                 hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
-                coords, scores = heatmap_to_coord(hm, bbox)
+                coords, scores = heatmap_to_coord(hm, bbox_crop)
                 kpts = jnp.concatenate([coords, scores[..., None]],
                                        -1).reshape(BATCH, -1)
                 oks = compute_oks(kpts, gt, bb_ann)
@@ -130,23 +142,25 @@ def main():
             return lax.fori_loop(0, K, body, jnp.float32(0))
         return loop
 
-    # bf16 serving path (decode/scoring stay f32)
-    dt_bf16, fl_step = _bench_chain(make_score_loop, var_bf16,
-                                    x32.astype(jnp.bfloat16))
+    # bf16 serving path (warp/decode/scoring stay f32)
+    dt_bf16, fl_step = _bench_chain(make_score_loop, var_bf16, frames)
     fps = BATCH / dt_bf16
     detail["score_bf16_samples_per_s"] = round(fps, 1)
 
     # f32 parity mode
-    dt_f32, _ = _bench_chain(make_score_loop, variables, x32)
+    dt_f32, _ = _bench_chain(lambda K: make_score_loop(K, False),
+                             variables, frames)
     detail["score_f32_samples_per_s"] = round(BATCH / dt_f32, 1)
 
     if fl_step <= 0:
         # XLA's cost analysis doesn't always attribute while-loop body flops
         # by trip count — fall back to costing one unchained step
-        def one_step(variables, x):
-            hm = model.apply(variables, x)
+        def one_step(variables, frames):
+            crops, bbox_crop = crop_batch(frames, frame_idx, raw_bbox,
+                                          (256, 192))
+            hm = model.apply(variables, crops.astype(jnp.bfloat16))
             hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
-            coords, scores = heatmap_to_coord(hm, bbox)
+            coords, scores = heatmap_to_coord(hm, bbox_crop)
             kpts = jnp.concatenate([coords, scores[..., None]],
                                    -1).reshape(BATCH, -1)
             oks = compute_oks(kpts, gt, bb_ann)
@@ -154,7 +168,7 @@ def main():
             gc = localpeak_mean(hm)
             return coords, oks, thc, gc
         fl_step = _flops(jax.jit(one_step).lower(
-            var_bf16, x32.astype(jnp.bfloat16)).compile())
+            var_bf16, frames).compile())
     if fl_step > 0:
         detail["score_step_tflops"] = round(fl_step / 1e12, 2)
         detail["score_bf16_mfu_vs_v5e_peak"] = round(
@@ -251,12 +265,63 @@ def main():
         json.dump(detail, f, indent=2)
 
     print(json.dumps({
-        "metric": "frames/sec/chip (inference+scoring)",
+        "metric": "frames/sec/chip (crop+inference+scoring)",
         "value": round(fps, 1),
         "unit": "samples/s",
         "vs_baseline": round(fps / REF_A100_SAMPLES_PER_S, 2),
     }))
 
 
+def zoo():
+    """Model-zoo forward throughput (bf16, batch 512) — the other two
+    estimator families (`python bench.py --zoo`, writes BENCH_ZOO.json)."""
+    import jax
+    from vatl4pose_tpu.utils.runtime import setup_jax_cache
+    setup_jax_cache()
+    import jax.numpy as jnp
+    from jax import lax
+    from vatl4pose_tpu.models import (FastPose, PoseHighResolutionNet,
+                                      SimplePose)
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for name, model in (
+            ("SimplePose_R50", SimplePose(num_joints=17, num_layers=50)),
+            ("FastPose_SE_R50_DUC", FastPose(num_joints=17, num_layers=50)),
+            ("HRNet_W32", PoseHighResolutionNet(num_joints=17))):
+        shapes = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 256, 192, 3), jnp.float32)))
+        var = jax.tree.map(
+            lambda a: jnp.asarray(rng.normal(0, 0.05, a.shape),
+                                  jnp.bfloat16 if a.dtype == jnp.float32
+                                  else a.dtype), shapes)
+        x = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.bfloat16)
+
+        def make_loop(K, model=model):
+            @jax.jit
+            def loop(v, x):
+                def body(i, acc):
+                    xi = x * (1 + acc * 1e-20).astype(x.dtype)
+                    hm = model.apply(v, xi)
+                    return acc + jnp.mean(hm).astype(jnp.float32)
+                return lax.fori_loop(0, K, body, jnp.float32(0))
+            return loop
+
+        dt, fl = _bench_chain(make_loop, var, x)
+        out[name] = {"samples_per_s": round(BATCH / dt, 1),
+                     "step_ms": round(dt * 1e3, 1)}
+        if fl > 0:
+            out[name]["mfu_vs_v5e_peak"] = round(
+                fl / dt / V5E_BF16_PEAK_FLOPS, 3)
+        print(name, out[name], flush=True)
+    with open("BENCH_ZOO.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--zoo" in sys.argv:
+        zoo()
+    else:
+        main()

@@ -274,6 +274,28 @@ class TestWarp:
         assert np.abs(got - golden.astype(np.float32)).max() <= 4.0
         assert np.abs(got - golden.astype(np.float32)).mean() < 0.6
 
+    def test_separable_matmul_warp_matches_gather_warp(self):
+        """warp_axis_aligned_batch (two MXU einsums) must reproduce the
+        general gather warp on rot=0 affines, including out-of-frame
+        borders (constant 0)."""
+        frames = RNG.uniform(0, 255, size=(4, 120, 160, 3)).astype(np.float32)
+        n = 8
+        fidx = RNG.integers(0, 4, n)
+        # scale/translate-only dst->src matrices, some sampling far outside
+        mats = np.zeros((n, 2, 3), np.float32)
+        mats[:, 0, 0] = RNG.uniform(0.3, 1.5, n)
+        mats[:, 1, 1] = RNG.uniform(0.3, 1.5, n)
+        mats[:, 0, 2] = RNG.uniform(-60, 140, n)
+        mats[:, 1, 2] = RNG.uniform(-60, 110, n)
+        got = np.asarray(ops.warp_axis_aligned_batch(
+            jnp.asarray(frames), jnp.asarray(fidx), jnp.asarray(mats),
+            (64, 48)))
+        golden = np.stack([
+            np.asarray(ops.warp_affine_bilinear(
+                jnp.asarray(frames[fidx[i]]), jnp.asarray(mats[i]), (64, 48)))
+            for i in range(n)])
+        np.testing.assert_allclose(got, golden, rtol=1e-4, atol=2e-3)
+
     def test_crop_batch_shapes_and_bbox(self):
         frames = RNG.uniform(0, 255, size=(3, 120, 160, 3)).astype(np.float32)
         boxes = np.array([[10, 10, 60, 100], [30, 20, 90, 110]], np.float32)

@@ -13,4 +13,5 @@ from .oks import (COCO_SIGMAS, COCO_VARS, JRDB_SIGMAS, JRDB_VARS,
 from .peaks import (compute_entropy, compute_margin, compute_mpe,
                     localpeak_mean, max_filter2d, peak_local_max_topk)
 from .temporal import temporal_neighbor_weights, thc_scores, tpc_scores
-from .warp import RGB_MEAN, crop_batch, warp_affine_bilinear
+from .warp import (RGB_MEAN, crop_batch, warp_affine_bilinear,
+                   warp_axis_aligned_batch)

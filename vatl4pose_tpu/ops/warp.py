@@ -17,7 +17,8 @@ import numpy as np
 
 from .affine import box_to_center_scale, center_scale_to_box, get_affine_transform
 
-__all__ = ["warp_affine_bilinear", "crop_batch", "RGB_MEAN"]
+__all__ = ["warp_affine_bilinear", "warp_axis_aligned_batch", "crop_batch",
+           "RGB_MEAN"]
 
 # Channel means subtracted after /255 (simple_transform.py:94-96), RGB order.
 RGB_MEAN = np.array([0.406, 0.457, 0.480], dtype=np.float32)
@@ -66,6 +67,43 @@ def warp_affine_bilinear(image, inv_mat, out_size):
     return out
 
 
+def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size):
+    """Rotation-free batched bilinear warp as two weight-matrix matmuls.
+
+    For an axis-aligned affine (inv_mat off-diagonals zero — every eval /
+    scoring crop, since get_affine_transform is called with rot=0) the
+    bilinear warp is separable: out[n] = Wy[n] @ frames[fi[n]] @ Wx[n]^T
+    with hat-kernel (tent) weight rows.  The two einsums run on the MXU,
+    where the equivalent general gather formulation costs ~3 ms/crop on
+    v5e (gathers don't vectorize) — this is the scoring pipeline's
+    hot-path warp.  Out-of-range source coordinates get all-zero weight
+    rows, which reproduces BORDER_CONSTANT-0 exactly.
+
+    frames: (F, H, W, C) float; frame_idx: (N,); inv_mats: (N, 2, 3)
+    dst->src.  Returns (N, out_h, out_w, C).
+    """
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    H, W = frames.shape[1], frames.shape[2]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = inv_mats[:, 1, 1, None] * ys + inv_mats[:, 1, 2, None]  # (N, oh)
+    sx = inv_mats[:, 0, 0, None] * xs + inv_mats[:, 0, 2, None]  # (N, ow)
+
+    def hat(s, size):
+        i = jnp.arange(size, dtype=jnp.float32)
+        return jnp.clip(1.0 - jnp.abs(s[..., None] - i), 0.0, 1.0)
+
+    wy = hat(sy, H)                        # (N, oh, H)
+    wx = hat(sx, W)                        # (N, ow, W)
+    imgs = frames[frame_idx]               # (N, H, W, C) contiguous gather
+    # HIGHEST matmul precision: pixel values up to 255 — default-bf16
+    # accumulation would quantize crops by ~0.5 intensity steps
+    tmp = jnp.einsum("now,nhwc->nhoc", wx, imgs,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("noh,nhxc->noxc", wy, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
                normalize: bool = True):
     """Produce normalized person crops for a batch of boxes on-device.
@@ -88,11 +126,9 @@ def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
         aspect_ratio)
     inv_mats = get_affine_transform(center, scale, 0.0, (inp_w, inp_h), inv=True)
     bbox_crop = center_scale_to_box(center, scale)
-
-    def one(fi, m):
-        return warp_affine_bilinear(frames[fi], m, (inp_h, inp_w))
-
-    crops = jax.vmap(one)(jnp.asarray(frame_idx), inv_mats)
+    # rot=0 by construction → the separable MXU warp applies
+    crops = warp_axis_aligned_batch(frames, jnp.asarray(frame_idx), inv_mats,
+                                    (inp_h, inp_w))
     if normalize:
         crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
     return crops, bbox_crop
