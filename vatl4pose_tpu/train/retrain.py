@@ -69,6 +69,11 @@ class Retrainer:
         self.batch_size = retrain_cfg["BATCH_SIZE"]
         self.epoch_counter = 0  # survives rounds in continual mode
         self.rng = np.random.default_rng(seed)
+        # TPU: gather-free rotation warp (kernels/rot_warp — shear passes
+        # via pltpu.roll; the general bilinear gather costs ~3 ms/crop on
+        # v5e).  CPU (tests/parity harness): XLA gather is fine and avoids
+        # pallas interpret mode.
+        self.rot_kernel = jax.default_backend() != "cpu"
         self._step = jax.jit(self._train_step)
         self._step_crops = jax.jit(self._train_step_crops)
         self._steps_scan = jax.jit(self._train_steps_scan)
@@ -80,23 +85,42 @@ class Retrainer:
         return init_state(params)
 
     # ---- jitted step ------------------------------------------------------
-    def _train_step(self, variables, opt_state, frames, frame_idx, inv_mats,
-                    joints, vis, valid, lr):
+    def _warp_mats(self, inv_mats):
+        """Host-side warp-parameter prep: (pre_mats, phi) for the rotation
+        kernel, or inv_mats passed through for the gather path."""
+        if not self.rot_kernel:
+            return np.asarray(inv_mats, np.float32), np.zeros(
+                len(inv_mats), np.float32)
+        from ..kernels.rot_warp import decompose_inv_mats
+        pre, phi, iso_err = decompose_inv_mats(inv_mats, self.input_size)
+        if iso_err > 1e-3:   # aspect-corrected boxes are always isotropic
+            raise ValueError(f"anisotropic train affine (err {iso_err:.2g})")
+        return pre, phi
+
+    def _train_step(self, variables, opt_state, frames, frame_idx, mats,
+                    phi, joints, vis, valid, lr):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
         inp_h, inp_w = self.input_size
 
-        def crop_one(fi, m):
-            img = warp_affine_bilinear(frames[fi].astype(jnp.float32), m,
-                                       (inp_h, inp_w))
-            return img / 255.0 - jnp.asarray(RGB_MEAN)
+        if self.rot_kernel:
+            from ..kernels.rot_warp import warp_rotated_traced
+            crops = warp_rotated_traced(frames.astype(jnp.float32),
+                                        frame_idx, mats, phi,
+                                        (inp_h, inp_w))
+            crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
+        else:
+            def crop_one(fi, m):
+                img = warp_affine_bilinear(frames[fi].astype(jnp.float32), m,
+                                           (inp_h, inp_w))
+                return img / 255.0 - jnp.asarray(RGB_MEAN)
 
-        crops = jax.vmap(crop_one)(frame_idx, inv_mats)
+            crops = jax.vmap(crop_one)(frame_idx, mats)
         return self._fit_crops(params, rest, opt_state, crops, joints, vis,
                                valid, lr)
 
     def _train_steps_scan(self, variables, opt_state, frames, frame_idx,
-                          inv_mats, joints, vis, valid, lr, upd):
+                          mats, phi, joints, vis, valid, lr, upd):
         """STEP_CHUNK train steps fused into ONE device program via
         lax.scan (leading axis T = steps).  Dispatching through the
         tunnelled TPU costs tens of ms per op, so the per-step jit spends
@@ -107,9 +131,9 @@ class Retrainer:
 
         def body(carry, xs):
             vars_c, opt_c = carry
-            fi, m, j, v, va, l, u = xs
+            fi, m, ph, j, v, va, l, u = xs
             new_vars, new_opt, loss, acc = self._train_step(
-                vars_c, opt_c, frames, fi, m, j, v, va, l)
+                vars_c, opt_c, frames, fi, m, ph, j, v, va, l)
             vars_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
                                   new_vars, vars_c)
             opt_c = jax.tree.map(lambda a, b: jnp.where(u, a, b),
@@ -118,7 +142,7 @@ class Retrainer:
 
         (variables, opt_state), stats = jax.lax.scan(
             body, (variables, opt_state),
-            (frame_idx, inv_mats, joints, vis, valid, lr, upd))
+            (frame_idx, mats, phi, joints, vis, valid, lr, upd))
         return variables, opt_state, stats
 
     def _train_step_crops(self, variables, opt_state, crops_u8, joints, vis,
@@ -198,9 +222,10 @@ class Retrainer:
                     data.bboxes[sel_p], data.joints_xy[sel_p],
                     data.joints_vis[sel_p], img_wh, self.input_size,
                     self.aug, self.joint_pairs, self.rng)
+                mats, phi = self._warp_mats(inv_mats)
                 valid = np.zeros(bs, bool)
                 valid[:n] = True
-                steps.append((data.frame_idx[sel_p], inv_mats, joints, vis,
+                steps.append((data.frame_idx[sel_p], mats, phi, joints, vis,
                               valid, lr, n))
             self.epoch_counter += 1  # scheduler.step()
         stats, counts = [], []
@@ -213,11 +238,12 @@ class Retrainer:
             chunk = chunk + [chunk[0]] * (C - t)
             upd = np.zeros(C, bool)
             upd[:t] = True
-            fi, mats, joints, vis, valid, lrs, ns = zip(*chunk)
+            fi, mats, phis, joints, vis, valid, lrs, ns = zip(*chunk)
             variables, opt_state, st = self._steps_scan(
                 variables, opt_state, frames_dev,
                 jnp.asarray(np.stack(fi)),
                 jnp.asarray(np.stack(mats)),
+                jnp.asarray(np.stack(phis)),
                 jnp.asarray(np.stack(joints)),
                 jnp.asarray(np.stack(vis)),
                 jnp.asarray(np.stack(valid)),
