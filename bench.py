@@ -234,6 +234,43 @@ def main():
     detail["retrain_bf16_samples_per_s"] = round(RETRAIN_BATCH / dt_trb, 1)
     detail["retrain_bf16_step_ms"] = round(dt_trb * 1e3, 1)
 
+    # REAL retrain wall (what the AL loop pays): Retrainer.retrain over the
+    # scan-chunked path — device warp (rotation kernel), gaussian targets,
+    # fwd+bwd, per-group AdamW, fused PCK — 16 steps warm, from frames.
+    import types
+
+    from vatl4pose_tpu.train.retrain import Retrainer
+    from vatl4pose_tpu.data.pipeline import AugCfg
+
+    n_samp = 240
+    d = types.SimpleNamespace(          # the fields retrain() reads
+        frame_idx=np.asarray(rng.integers(0, 80, n_samp)),
+        bboxes=np.asarray(np.stack(
+            [rng.uniform(0, 100, n_samp), rng.uniform(0, 80, n_samp),
+             rng.uniform(150, 300, n_samp), rng.uniform(120, 230, n_samp)],
+            1), np.float32),
+        joints_xy=rng.uniform(20, 200, (n_samp, 17, 2)).astype(np.float32),
+        joints_vis=np.ones((n_samp, 17), np.float32))
+    tr = Retrainer(model_t, {"OPTIMIZER": "AdamW", "LR": 2.5e-4,
+                             "WEIGHT_DECAY": 0.7, "BATCH_SIZE": RETRAIN_BATCH},
+                   "SimplePose", aug=AugCfg(), joint_pairs=[], seed=166)
+    tr_vars = {"params": variables["params"],
+               "batch_stats": jax.tree.map(
+                   jnp.zeros_like,
+                   model_t.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 256, 192, 3)))["batch_stats"])}
+    tr_opt = init_state(tr_vars["params"])
+    idx = np.arange(n_samp)
+    tr_vars, tr_opt, _, _ = tr.retrain(tr_vars, tr_opt, d, frames, idx, 8,
+                                       (320, 240))          # compile warm-up
+    t0 = time.perf_counter()
+    tr_vars, tr_opt, _, _ = tr.retrain(tr_vars, tr_opt, d, frames, idx, 8,
+                                       (320, 240))
+    dt_full = time.perf_counter() - t0
+    detail["retrain_wall_16steps_s"] = round(dt_full, 2)
+    detail["retrain_wall_samples_per_s"] = round(
+        16 * RETRAIN_BATCH / dt_full, 1)
+
     # full-cycle estimate at production shape: score a 512-sample video +
     # one coreset selection + one retrain epoch over 120 samples.
     # coreset_selection returns host ints (device_get inside) so plain
