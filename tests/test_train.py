@@ -207,6 +207,81 @@ class TestAETrainerScan:
                                        rtol=2e-5, atol=2e-6)
 
 
+class TestRetrainScanEquivalence:
+    def test_scan_chunks_match_per_step_loop(self, tmp_path):
+        """retrain() (16-step lax.scan chunks with no-op padding) must
+        produce the same weights/loss as driving the per-step jitted
+        program with the identical rng stream and batch schedule."""
+        import jax
+        import jax.numpy as jnp
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.pipeline import AugCfg, train_sample_geometry
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        from vatl4pose_tpu.models import build_sppe
+        from vatl4pose_tpu.train.retrain import Retrainer
+
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=4,
+                                         num_persons=2, width=160,
+                                         height=128)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann, "IMG_PREFIX": ""}))
+        preset = Cfg({"IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16],
+                      "SIGMA": 2, "NUM_JOINTS": 17, "TYPE": "simple"})
+        mcfg = Cfg({"TYPE": "SimplePose", "NUM_DECONV_FILTERS": [64, 64, 64],
+                    "NUM_LAYERS": 18})
+        model_t = build_sppe(mcfg, preset, train=True)
+        variables = model_t.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+        rcfg = {"OPTIMIZER": "AdamW", "LR": 2.5e-4, "LR_GAMMA": 0.99,
+                "BATCH_SIZE": 4, "WEIGHT_DECAY": 0.7}
+        aug = AugCfg(scale_factor=0.1, rot_factor=20, flip=True)
+        frames = jax.device_put(ds.load_frames())
+        idx = np.arange(len(ds.data))
+        img_wh = (ds.data.width, ds.data.height)
+
+        tr = Retrainer(model_t, rcfg, "SimplePose", input_size=(64, 64),
+                       hm_size=(16, 16), aug=aug,
+                       joint_pairs=ds.joint_pairs, seed=99)
+        opt_state = tr.init_opt_state(variables["params"])
+        got_vars, _, got_loss, got_acc = tr.retrain(
+            variables, opt_state, ds.data, frames, idx, 3, img_wh)
+
+        # reference: same schedule, per-step program
+        ref = Retrainer(model_t, rcfg, "SimplePose", input_size=(64, 64),
+                        hm_size=(16, 16), aug=aug,
+                        joint_pairs=ds.joint_pairs, seed=99)
+        vars_r = variables
+        opt_r = ref.init_opt_state(variables["params"])
+        d = ds.data
+        for _ in range(3):
+            lr = ref.base_lr * (ref.gamma ** ref.epoch_counter)
+            order = ref.rng.permutation(len(idx))
+            for s in range(0, len(order), 4):
+                sel_p = np.resize(idx[order[s:s + 4]], 4)
+                mats0, _, joints, vis, _ = train_sample_geometry(
+                    d.bboxes[sel_p], d.joints_xy[sel_p], d.joints_vis[sel_p],
+                    img_wh, (64, 64), ref.aug, ref.joint_pairs, ref.rng)
+                mats, phi = ref._warp_mats(mats0)
+                vars_r, opt_r, loss, acc = ref._step(
+                    vars_r, opt_r, frames, jnp.asarray(d.frame_idx[sel_p]),
+                    jnp.asarray(mats), jnp.asarray(phi), jnp.asarray(joints),
+                    jnp.asarray(vis), jnp.asarray(np.ones(4, bool)),
+                    jnp.asarray(lr, jnp.float32))
+            ref.epoch_counter += 1
+        # scan-fused vs per-step compilation reorders float accumulations;
+        # AdamW's 1/sqrt(v) (v still tiny) and BatchNorm compound the
+        # ulp-level differences chaotically over steps, so exact equality
+        # is not expected — bound the drift statistically instead.  A real
+        # logic bug (padded no-op steps leaking, rng misalignment, step
+        # order) shifts entire leaves by >> these bounds.
+        for a, b in zip(jax.tree.leaves(got_vars), jax.tree.leaves(vars_r)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            close = np.abs(a - b) <= 1e-2 + 5e-2 * np.abs(b)
+            assert close.mean() > 0.995, (a.shape, close.mean())
+            assert np.abs(a - b).max() < 0.05
+
+
 class TestRetrainBatchNormSafety:
     def test_tiny_retrain_set_does_not_poison_batch_stats(self, tmp_path):
         """Regression: retraining 2 samples at BATCH_SIZE 32 must not wreck
