@@ -25,11 +25,18 @@ def main(argv=None):
     if opt.synthetic:
         import tempfile
 
-        from ..data.synthetic import make_synthetic_video
+        from ..data.synthetic import (make_synthetic_multivideo,
+                                      make_synthetic_video)
         root = tempfile.mkdtemp(prefix="vatl_jrdb_pretrain_")
         # JRDB2022 composite-id sort takes the last THREE ann-id digits
-        _, ann = make_synthetic_video(root, num_frames=6, seed=opt.seed,
-                                      track_digits=3)
+        if opt.synth_videos > 1:
+            _, ann = make_synthetic_multivideo(
+                root, num_videos=opt.synth_videos, num_frames=8,
+                num_persons=3, seed=opt.seed, appearance_jitter=True,
+                track_digits=3)
+        else:
+            _, ann = make_synthetic_video(root, num_frames=6, seed=opt.seed,
+                                          track_digits=3)
         cfg.DATASET.TRAIN.ROOT = root
         cfg.DATASET.TRAIN.ANN = ann
         cfg.DATASET.TRAIN.TYPE = "JRDB2022"

@@ -141,6 +141,9 @@ def prepare_synthetic(cfg, opt):
         ch, sig, amp, bg = opt.synth_shift
         extra = dict(channel_shift=int(ch), blob_sigma=sig, blob_amp=amp,
                      bg_level=bg)
+    if cfg.DATASET.EVAL.TYPE == "JRDB2022":
+        # JRDB composite ids use 3-digit track suffixes (jrdb2022.py)
+        extra["track_digits"] = 3
     _, ann = make_synthetic_video(
         root, video_id=opt.video_id, seed=seed,
         num_frames=opt.synth_frames, num_persons=opt.synth_persons,

@@ -27,8 +27,8 @@ def make_synthetic_multivideo(out_dir: str, num_videos: int = 2,
                               num_frames: int = 4, num_persons: int = 2,
                               sizes=None, seed: int = 166,
                               img_format: str = "npy",
-                              appearance_jitter: bool = False
-                              ) -> Tuple[str, str]:
+                              appearance_jitter: bool = False,
+                              track_digits: int = 2) -> Tuple[str, str]:
     """Combined multi-video training annotation with MIXED resolutions —
     the synthetic analog of the integrated PoseTrack21 pre-training json
     (data/PoseTrack21/integrate_new_annotation.py:6-53), which spans videos
@@ -53,7 +53,7 @@ def make_synthetic_multivideo(out_dir: str, num_videos: int = 2,
         _, ann_rel = make_synthetic_video(
             out_dir, num_frames=num_frames, num_persons=num_persons,
             width=w, height=h, seed=seed + v, video_id=vid,
-            img_format=img_format, **extra)
+            img_format=img_format, track_digits=track_digits, **extra)
         with open(os.path.join(out_dir, ann_rel)) as f:
             ann = json.load(f)
         for img in ann["images"]:
@@ -62,10 +62,12 @@ def make_synthetic_multivideo(out_dir: str, num_videos: int = 2,
             images.append(img)
         for a in ann["annotations"]:
             a = dict(a)
-            # keep the person id in the last two digits (composite-id sort,
-            # posetrack21.py:103); prefix video+frame for global uniqueness
+            # keep the person id in the last track_digits digits
+            # (composite-id sort, posetrack21.py:103 / jrdb2022.py);
+            # prefix video+frame for global uniqueness
             frame = a["image_id"] - 10000
-            a["id"] = int(f"{v + 1}{frame + 1:02d}{a['id'] % 100:02d}")
+            a["id"] = int(f"{v + 1}{frame + 1:02d}"
+                          f"{a['id'] % 10**track_digits:0{track_digits}d}")
             a["image_id"] = 10000 * (v + 1) + frame
             annotations.append(a)
     cats = [{"id": 1, "name": "person",
