@@ -8,6 +8,9 @@
 #    domain-shifted unseen 240-sample video from that checkpoint, once in
 #    f32 parity mode and once with --speedup (bf16 forward + bf16
 #    mixed-precision retrain), recording per-phase cycle times.
+# 3. Same for the JRDB family: FastPose-SE-R50+DUC pre-trained on a
+#    10-video synthetic JRDB fixture (JRDB2022 dataset path, 3-digit track
+#    ids), then DUW on a shifted unseen JRDB-style video.
 #
 # Every run is a plain CLI invocation — no hidden drivers.
 set -euo pipefail
@@ -32,3 +35,15 @@ for MODE in "" "--speedup"; do
     --synthetic --synth_frames 80 --synth_persons 3 \
     --synth_seed $SEED --synth_shift $SHIFT
 done
+
+# JRDB family (FastPose + JRDB2022 dataset path)
+python -m vatl4pose_tpu.cli.jrdbpose_train \
+  --cfg exp/pretrain_jrdb.yaml --synthetic --synth_videos 10 \
+  --exp-id pretrain_jrdb --work_dir exp/pretrain_jrdb
+
+python -m vatl4pose_tpu.cli.run_active_learning \
+  --cfg exp/al_jrdb_synth.yaml \
+  --uncertainty THC+WPU --representativeness Influence --filter Coreset \
+  --video_id 000200 --memo fullscale_jrdb --seedfix --continual \
+  --synthetic --synth_frames 80 --synth_persons 3 \
+  --synth_seed 888 --synth_shift $SHIFT
