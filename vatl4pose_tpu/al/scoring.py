@@ -70,6 +70,7 @@ class ScoringEngine:
         self._fwd = jax.jit(self._forward_chunk)
         self._fwd_crops = jax.jit(self._forward_chunk_crops)
         self._score = jax.jit(self._score_video)
+        self._score_packed = jax.jit(self._score_video_packed)
 
     def _shard(self, arr):
         """Batch-shard a device input when a mesh is configured."""
@@ -187,6 +188,36 @@ class ScoringEngine:
                 "oks": oks, "det_score": det_score, "unc": unc, "unc2": unc2,
                 "gc": gc}
 
+    # one device->host round trip through the tunnel costs ~40 ms; fetching
+    # the 8 stage-2 outputs separately dominated the warm score phase, so
+    # the jitted program packs them into ONE (b, 6K+5) f32 buffer fetched
+    # once and split on the host
+    _PACK_KEYS = ("coords", "scores", "kpts", "oks", "det_score", "unc",
+                  "unc2", "gc")
+
+    def _score_video_packed(self, *args):
+        out = self._score_video(*args)
+        b = out["oks"].shape[0]
+        return jnp.concatenate(
+            [out[k].reshape(b, -1).astype(jnp.float32)
+             for k in self._PACK_KEYS], axis=1)
+
+    def _unpack_scores(self, packed: np.ndarray) -> Dict[str, np.ndarray]:
+        K = len(self.cfg.eval_joints)
+        widths = (2 * K, K, 3 * K, 1, 1, 1, 1, 1)
+        res, o = {}, 0
+        for k, w in zip(self._PACK_KEYS, widths):
+            v = packed[:, o:o + w]
+            o += w
+            if k == "coords":
+                v = v.reshape(-1, K, 2)
+            elif k == "scores":
+                v = v.reshape(-1, K)
+            elif k != "kpts":
+                v = v[:, 0]
+            res[k] = np.ascontiguousarray(v)
+        return res
+
     def _wpu(self, ae_variables, bbox_crop, kpts_flat):
         """WPU = MSE reconstruction error of the hybrid feature
         (ActiveLearning.py:364-386, 38-d convention)."""
@@ -250,7 +281,7 @@ class ScoringEngine:
             halo = jnp.pad(halo, ((0, c + 2 - int(halo.shape[0])),
                                   (0, 0), (0, 0), (0, 0)))
             aux_halo = jnp.asarray(halo_host(np.asarray(aux_chunk), s, e))
-            res = self._score(
+            packed = self._score_packed(
                 halo,
                 jnp.asarray(halo_host(bbox_crop[s:e], s, e, pad_value=1.0)),
                 jnp.asarray(halo_host(gt[s:e], s, e)),
@@ -258,9 +289,8 @@ class ScoringEngine:
                 jnp.asarray(halo_host(is_prev[s:e], s, e, pad_value=False)),
                 jnp.asarray(halo_host(is_next[s:e], s, e, pad_value=False)),
                 ae_vars, aux_halo)
-            for k, v in res.items():
-                out_host.setdefault(k, []).append(
-                    np.asarray(v)[1:1 + (e - s)])
+            for k, v in self._unpack_scores(np.asarray(packed)).items():
+                out_host.setdefault(k, []).append(v[1:1 + (e - s)])
             prev_tail = hm_chunk[-1:]
 
         for s in range(0, n, c):
@@ -313,19 +343,21 @@ class ScoringEngine:
             # unit boxes for padded rows keep the (discarded) OKS finite
             bb_ann = np.concatenate(
                 [bb_ann, np.ones((pad, 4), np.float32)])
-        out = self._score(self._shard(hms), self._shard(bbox_crop_p),
-                          self._shard(jnp.asarray(
-                              pad_to(np.asarray(gt_kpts, np.float32), b))),
-                          self._shard(jnp.asarray(bb_ann)),
-                          self._shard(jnp.asarray(
-                              pad_to(np.asarray(is_prev), b))),
-                          self._shard(jnp.asarray(
-                              pad_to(np.asarray(is_next), b))),
-                          self._repl(ae_variables
-                                     if ae_variables is not None
-                                     else {"params": {}}),
-                          self._shard(aux_params))
-        res = {k: np.asarray(v)[:n] for k, v in out.items()}
+        packed = self._score_packed(
+            self._shard(hms), self._shard(bbox_crop_p),
+            self._shard(jnp.asarray(
+                pad_to(np.asarray(gt_kpts, np.float32), b))),
+            self._shard(jnp.asarray(bb_ann)),
+            self._shard(jnp.asarray(
+                pad_to(np.asarray(is_prev), b))),
+            self._shard(jnp.asarray(
+                pad_to(np.asarray(is_next), b))),
+            self._repl(ae_variables
+                       if ae_variables is not None
+                       else {"params": {}}),
+            self._shard(aux_params))
+        res = {k: v[:n]
+               for k, v in self._unpack_scores(np.asarray(packed)).items()}
         res["embeddings"] = np.asarray(embs)
         res["bbox_crop"] = np.asarray(bbox_crop)
         if keep_heatmaps:
