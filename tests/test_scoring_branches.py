@@ -64,3 +64,29 @@ def test_branch_produces_finite_scores(setup, unc):
         assert res["unc2"].any()
     if unc == "None":
         assert (res["unc"] == 0).all()
+
+
+def test_packed_fetch_matches_unpacked_program(setup):
+    """The single-buffer stage-2 fetch (one tunnel round trip) must carry
+    exactly what the unpacked dict program computes."""
+    ds, model, variables, frames = setup
+    d = ds.data
+    engine = ScoringEngine(
+        model, ScoringConfig(uncertainty="THC_L1", need_embedding=False,
+                             input_size=(64, 64)), chunk=32)
+    rng = np.random.default_rng(0)
+    b = 16
+    hms = jnp.asarray(rng.uniform(0, 1, (b, 17, 16, 16)), jnp.float32)
+    bc = jnp.asarray(np.tile([[5.0, 5.0, 40.0, 60.0]], (b, 1)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 60, (b, 51)), jnp.float32)
+    bba = jnp.asarray(np.tile([[5.0, 5.0, 35.0, 55.0]], (b, 1)), jnp.float32)
+    flags = jnp.asarray(np.ones(b, bool))
+    args = (hms, bc, gt, bba, flags, flags, {"params": {}},
+            jnp.zeros((b, 1, 2), jnp.float32))
+    want = {k: np.asarray(v) for k, v in engine._score(*args).items()}
+    got = engine._unpack_scores(np.asarray(engine._score_packed(*args)))
+    assert set(got) == set(want)
+    for k in want:
+        # separately-compiled programs may reorder float accumulations
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
