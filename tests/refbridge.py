@@ -8,20 +8,24 @@ shared synthetic fixture so tests can assert query-list equality against the
 real code.
 
 What it provides:
-  install()            — make `/root/reference` importable: sys.path entries
-                         plus minimal stand-ins for packages absent from this
-                         environment (pycocotools, skimage, easydict,
-                         torchvision, umap, cachetools, prettytable) and
-                         CPU-execution patches for the reference's
-                         unconditional `.cuda()` calls.
+  install()            — make `/root/reference` importable: sys.path entries,
+                         the reference's REAL vendored pycocotools (via
+                         tests/ref_pycoco; only the Cython _mask module is
+                         stubbed), minimal stand-ins for packages absent from
+                         this environment (skimage, easydict, torchvision,
+                         umap, cachetools, prettytable), and CPU-execution
+                         patches for the reference's unconditional `.cuda()`
+                         calls.
   make_opt()/make_cfg()— the `opt` namespace / EasyDict cfg the reference
                          entry point builds (Run_active_learning.py:49-121).
   run_reference_al()   — the do_al loop (Run_active_learning.py:165-173),
                          returning the reference outcome tuple as a dict.
 
-The stand-ins implement only the API surface the reference exercises and are
-backed by this repo's own tested implementations (eval/cocoeval.py,
-tests/reference_impl.ref_peak_local_max) — they contain no reference code.
+The remaining stand-ins implement only the API surface the reference
+exercises (tests/reference_impl.ref_peak_local_max for skimage) — they
+contain no reference code.  Crucially, mAP inside parity runs is computed by
+the reference's own vendored COCOeval, NOT by this repo's evaluator, so
+query-list and curve parity are non-circular.
 
 Known reference limits honoured here (SURVEY.md §7): the WPU path crashes
 as shipped on 17-keypoint data (42-d hybrid feature into a 38-d AE,
@@ -84,102 +88,6 @@ def _module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
     sys.modules[name] = mod
     return mod
-
-
-class _StubCOCO:
-    """pycocotools.coco.COCO surface used by the reference datasets
-    (custom.py:125, posetrack21.py:43-78) and evaluate_mAP
-    (metrics.py:91-100): json load + id indexes + loadRes."""
-
-    def __init__(self, annotation_file=None):
-        self.dataset = {}
-        self.anns, self.imgs, self.cats = {}, {}, {}
-        self.img_to_anns = {}
-        if annotation_file is not None:
-            with open(annotation_file) as f:
-                self.dataset = json.load(f)
-            self._index()
-
-    def _index(self):
-        for img in self.dataset.get("images", []):
-            self.imgs[img["id"]] = img
-        for cat in self.dataset.get("categories", []):
-            self.cats[cat["id"]] = cat
-        for ann in self.dataset.get("annotations", []):
-            self.anns[ann["id"]] = ann
-            self.img_to_anns.setdefault(ann["image_id"], []).append(ann)
-
-    # --- read API ---
-    def getImgIds(self, imgIds=None, catIds=None):
-        return list(self.imgs.keys())
-
-    def getCatIds(self, catNms=None, supNms=None, catIds=None):
-        return list(self.cats.keys())
-
-    def getAnnIds(self, imgIds=None, catIds=None, areaRng=None, iscrowd=None):
-        if imgIds is None:
-            return list(self.anns.keys())
-        if not isinstance(imgIds, (list, tuple)):
-            imgIds = [imgIds]
-        out = []
-        for i in imgIds:
-            out += [a["id"] for a in self.img_to_anns.get(i, [])]
-        return out
-
-    def loadImgs(self, ids):
-        if not isinstance(ids, (list, tuple)):
-            ids = [ids]
-        return [self.imgs[i] for i in ids]
-
-    def loadCats(self, ids):
-        if not isinstance(ids, (list, tuple)):
-            ids = [ids]
-        return [self.cats[i] for i in ids]
-
-    def loadAnns(self, ids):
-        if not isinstance(ids, (list, tuple)):
-            ids = [ids]
-        return [self.anns[i] for i in ids]
-
-    def loadRes(self, resFile):
-        res = _StubCOCO()
-        res.dataset = {"images": self.dataset.get("images", []),
-                       "categories": self.dataset.get("categories", [])}
-        if isinstance(resFile, str):
-            with open(resFile) as f:
-                anns = json.load(f)
-        else:
-            anns = list(resFile)
-        res.dataset["annotations"] = anns
-        res._index()
-        return res
-
-
-class _StubCOCOeval:
-    """pycocotools.cocoeval.COCOeval keypoints surface used by
-    evaluate_mAP (metrics.py:94-115), computed by this repo's
-    eval/cocoeval.evaluate_map (itself golden-tested)."""
-
-    def __init__(self, cocoGt=None, cocoDt=None, iouType="keypoints"):
-        assert iouType == "keypoints", iouType
-        self.cocoGt, self.cocoDt = cocoGt, cocoDt
-        self.params = types.SimpleNamespace(useSegm=None)
-        self.stats = []
-
-    def evaluate(self):
-        pass
-
-    def accumulate(self):
-        pass
-
-    def summarize(self):
-        from vatl4pose_tpu.eval.cocoeval import STAT_KEYS, evaluate_map
-        res = evaluate_map(self.cocoDt.dataset["annotations"],
-                           self.cocoGt.dataset)
-        # the reference reads stats[0..9] as
-        # [AP, AP .5, AP .6, AP .7, AP .75, AP .8, AP .95, AP(M), AP(L), AR]
-        # (metrics.py:111-114) — the same order as STAT_KEYS.
-        self.stats = [res[k] for k in STAT_KEYS]
 
 
 def _install_stub_modules():
@@ -276,14 +184,13 @@ def _install_stub_modules():
 
     prettytable.PrettyTable = PrettyTable
 
-    # pycocotools
-    pycocotools = _module("pycocotools")
-    coco_mod = _module("pycocotools.coco")
-    cocoeval_mod = _module("pycocotools.cocoeval")
-    pycocotools.coco = coco_mod
-    pycocotools.cocoeval = cocoeval_mod
-    coco_mod.COCO = _StubCOCO
-    cocoeval_mod.COCOeval = _StubCOCOeval
+    # pycocotools — the reference's ACTUAL vendored cocoapi snapshot
+    # (data/coco/cocoapi/PythonAPI), with only the Cython _mask module
+    # stubbed; the keypoints eval path never touches it.  Parity runs
+    # therefore exercise the reference's real COCOeval (non-circular;
+    # VERDICT r2 weak #1).
+    from tests.ref_pycoco import load_vendored_pycocotools
+    load_vendored_pycocotools()
 
 
 def _install_torch_patches():

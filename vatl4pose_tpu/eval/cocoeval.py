@@ -1,22 +1,28 @@
 """COCO keypoint mAP evaluation — self-contained reimplementation.
 
 pycocotools is not available in this environment; this reproduces the
-published COCOeval 'keypoints' algorithm (greedy per-threshold OKS matching,
-101-point precision interpolation, maxDets=20, area ranges all/medium/large)
-as exercised by the reference via alphapose/utils/metrics.py:65-115
-(evaluate_mAP).
+reference's VENDORED cocoapi (data/coco/cocoapi/PythonAPI/pycocotools/
+{coco,cocoeval}.py), which the reference patched away from upstream
+pycocotools in ways that change the numbers.  Exercised via
+alphapose/utils/metrics.py:65-115 (evaluate_mAP); cross-checked ≤1e-9
+against the vendored code itself in tests/test_eval_parity.py.
 
-Missing-field handling (the reference's generated GT jsons carry neither
-'num_keypoints' nor 'area' — ActiveLearning.py:312-327): num_keypoints
-defaults to the count of visible keypoints and gt area to bbox w*h; dt area
-is computed from the keypoint extent exactly as pycocotools loadRes does.
-
-The returned dict keeps the reference's (historically mislabeled) key names
-(metrics.py:111) mapping onto the standard stats vector:
-  stats = [AP@.5:.95, AP@.5, AP@.75, AP(M), AP(L),
-           AR@.5:.95, AR@.5, AR@.75, AR(M), AR(L)]
-  keys  = ['AP','AP .5','AP .6','AP .7','AP .75',
-           'AP .8','AP .95','AP (M)','AP (L)','AR']
+Vendored deviations from upstream pycocotools reproduced here:
+  - stats vector (cocoeval.py:484-496 _summarizeKps): AP at IoU
+    .5/.6/.7/.75/.8/.95 plus AP(M)/AP(L)/AR —
+    ['AP','AP .5','AP .6','AP .7','AP .75','AP .8','AP .95',
+     'AP (M)','AP (L)','AR'] (the keys metrics.py:111 reads).
+  - maxDets = [100] for keypoints (cocoeval.py:530), not upstream's 20.
+  - gt ignore = iscrowd only (cocoeval.py:109-110 — line 110 overwrites
+    the 'ignore'-field read, and there is no num_keypoints ignore).
+  - gt area falls back to bbox w*h when absent (cocoeval.py:211,248 —
+    the AL loop's GT_kpt.json entries carry no 'area',
+    ActiveLearning.py:311-327).
+  - dt area from loadRes (coco.py:335-364): a detection WITH a non-empty
+    'bbox' takes area = (bb[2]-bb[0])*(bb[3]-bb[1]) — the vendored patch
+    applies the xyxy formula to the AL loop's xywh boxes — and only
+    bbox-less detections get the keypoint-extent area.  Pre-existing
+    'area' fields are overwritten either way.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ IOU_THRS = np.linspace(.5, .95, 10)
 REC_THRS = np.linspace(.0, 1.00, 101)
 AREA_RNG = {"all": (0.0, 1e10), "medium": (32 ** 2, 96 ** 2),
             "large": (96 ** 2, 1e10)}
-MAX_DET = 20
+MAX_DET = 100
 STAT_KEYS = ["AP", "AP .5", "AP .6", "AP .7", "AP .75", "AP .8", "AP .95",
              "AP (M)", "AP (L)", "AR"]
 
@@ -48,7 +54,12 @@ def _load(obj):
 
 
 def _dt_area(ann):
-    """pycocotools COCO.loadRes keypoint-extent area."""
+    """Vendored COCO.loadRes area (coco.py:335-364): the 'bbox' branch wins
+    when present and applies (bb[2]-bb[0])*(bb[3]-bb[1]); otherwise the
+    keypoint-extent area.  Overwrites any pre-existing 'area'."""
+    bb = ann.get("bbox")
+    if bb is not None and bb != []:
+        return float((bb[2] - bb[0]) * (bb[3] - bb[1]))
     kp = np.asarray(ann["keypoints"], np.float64)
     x, y = kp[0::3], kp[1::3]
     x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
@@ -91,20 +102,22 @@ def evaluate_map(res: Union[str, list], ann: Union[str, dict],
     gt_data = _load(ann)
     dt_list = _load(res)
 
-    img_ids = [im.get("id", im.get("image_id")) for im in gt_data["images"]]
+    # sorted unique ids — COCOeval's p.imgIds ordering, which fixes the
+    # stable tie order of the global score sort in accumulate
+    img_ids = sorted({im.get("id", im.get("image_id"))
+                      for im in gt_data["images"]})
     gts_by_img = defaultdict(list)
     for g in gt_data["annotations"]:
         g = dict(g)
-        kp = np.asarray(g["keypoints"], np.float64)
-        nk = g.get("num_keypoints", int(np.count_nonzero(kp[2::3] > 0)))
-        g["_ignore0"] = bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0)) \
-            or (nk == 0)
+        # vendored cocoeval.py:110 — ignore = iscrowd only (overwrites the
+        # 'ignore'-field read on :109; no num_keypoints ignore exists)
+        g["_ignore0"] = bool(g.get("iscrowd", 0))
         g["_area"] = float(g.get("area", g["bbox"][2] * g["bbox"][3]))
         gts_by_img[g["image_id"]].append(g)
     dts_by_img = defaultdict(list)
     for d in dt_list:
         d = dict(d)
-        d["_area"] = float(d.get("area", _dt_area(d)))
+        d["_area"] = _dt_area(d)
         dts_by_img[d["image_id"]].append(d)
 
     T, R, A = len(IOU_THRS), len(REC_THRS), len(AREA_RNG)
@@ -128,6 +141,8 @@ def evaluate_map(res: Union[str, list], ann: Union[str, dict],
                               for g in gts])
             gtind = np.argsort(gt_ig, kind="mergesort")
             gt_ig = gt_ig[gtind]
+            crowd = np.array([int(g.get("iscrowd", 0)) for g in gts],
+                             np.int64)[gtind] if gts else np.zeros(0, np.int64)
             iou_s = ious[:, gtind] if ious.size else ious
             G, D = len(gts), len(dts)
             gtm = np.zeros((T, G))
@@ -139,7 +154,9 @@ def evaluate_map(res: Union[str, list], ann: Union[str, dict],
                         iou = min(t, 1 - 1e-10)
                         m = -1
                         for gind in range(G):
-                            if gtm[tind, gind] > 0:
+                            # matched gts are closed except crowds, which
+                            # may absorb further dts (cocoeval.py:279-280)
+                            if gtm[tind, gind] > 0 and not crowd[gind]:
                                 continue
                             if m > -1 and gt_ig[m] == 0 and gt_ig[gind] == 1:
                                 break
@@ -213,6 +230,7 @@ def evaluate_map(res: Union[str, list], ann: Union[str, dict],
         s = s[s > -1]
         return float(np.mean(s)) if s.size else -1.0
 
-    stats = [_ap(), _ap(.5), _ap(.75), _ap(area="medium"), _ap(area="large"),
-             _ar(), _ar(.5), _ar(.75), _ar(area="medium"), _ar(area="large")]
+    # vendored _summarizeKps layout (cocoeval.py:484-496)
+    stats = [_ap(), _ap(.5), _ap(.6), _ap(.7), _ap(.75), _ap(.8), _ap(.95),
+             _ap(area="medium"), _ap(area="large"), _ar()]
     return dict(zip(STAT_KEYS, stats))

@@ -1,12 +1,25 @@
 """JRDB keypoint AP — greedy per-joint PCK-match average precision.
 
 Parity: JRDB_toolkit/pose_eval.py:370-595 (computeRPC / VOCap /
-computeMetrics / average_precision_for_loc): per frame, per-keypoint OKS
-(vg forced visible, get_per_kp_oks_matrix) thresholded at 0.5 gives a PCK
-count matrix; GT→prediction matching is greedy by PCK count; matched
-predictions contribute per-joint TP/FP labels; AP per joint via VOC-style
-interpolated precision.  The unlabeled-box forgiveness path is kept
-(unmatched predictions overlapping an unlabeled GT box are ignored).
+computeMetrics / average_precision_for_loc), cross-checked ≤1e-9 against
+that code in tests/test_eval_parity.py.  Per frame: per-keypoint OKS with
+visibility forced on (get_per_kp_oks_matrix, :127-175) thresholded at
+oks_threshold gives a PCK count matrix; GT→prediction matching is greedy by
+PCK count (:528-539); per-joint TP/FP labels accumulate into VOC-style
+interpolated AP.
+
+Reference quirks replicated deliberately (they shape the published numbers):
+  - The label-emission loop (:541-568) iterates an index over the
+    PREDICTION count but tests it against MATCHED-GT values: entry order is
+    by matched-gt index, and the false-positive branch re-uses that index
+    into prFrames — so with more predictions than GTs the FP entries come
+    from prFrames[G:], not from the actually-unmatched predictions.
+  - Joints that never accumulate scores keep AP 0 (computeMetrics zero
+    init, :412) and still count in the final mean.
+  - Unmatched-prediction forgiveness tests keypoint-extent boxes against
+    unlabeled GT boxes at IOU_THRESHOLD = 0.5 (:12, :555-557), where
+    unlabeled boxes are box-file entries whose track_id appears in no pose
+    annotation (get_unseen_boxes, :289-299).
 """
 
 from __future__ import annotations
@@ -18,7 +31,7 @@ import numpy as np
 
 from ..ops.oks import JRDB_SIGMAS
 
-IOU_THRESHOLD = 0.4
+IOU_THRESHOLD = 0.5
 
 
 def _per_kp_oks_matrix(gt_annots, pr_annots, sigmas=JRDB_SIGMAS):
@@ -43,7 +56,8 @@ def _per_kp_oks_matrix(gt_annots, pr_annots, sigmas=JRDB_SIGMAS):
 
 
 def _matrix_iou(a, b):
-    """a (4, Na) xyxy columns, b (4, Nb) → (Na, Nb) IoU (pose_eval matrix_iou)."""
+    """a (4, Na) xyxy columns, b (4, Nb) → (Na, Nb) IoU (pose_eval
+    matrix_iou values; only its max vs IOU_THRESHOLD is consumed)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     ax0, ay0, ax1, ay1 = a
@@ -71,6 +85,20 @@ def _boxes_from_annos(annos):
     return np.asarray(cols).T if cols else np.zeros((4, 0))
 
 
+def _unseen_boxes(box_entries, annos):
+    """Box-file entries whose track id is absent from the pose annotations,
+    as (4, N) xyxy columns (pose_eval.py:289-299 get_unseen_boxes; boxes are
+    {'label_id': '...:<tid>', 'box': [x, y, w, h]})."""
+    seen = {a.get("track_id") for a in annos}
+    cols = []
+    for box in box_entries:
+        tid = int(str(box["label_id"]).split(":")[-1])
+        if tid not in seen:
+            x, y, w, h = box["box"]
+            cols.append([x, y, x + w, y + h])
+    return np.asarray(cols).T if cols else np.zeros((4, 0))
+
+
 def _voc_ap(rec, prec):
     """VOCap (pose_eval.py:391-408)."""
     mpre = np.zeros(len(prec) + 2)
@@ -84,13 +112,25 @@ def _voc_ap(rec, prec):
     return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
 
 
+def _forgiven(pr, unl):
+    """Unmatched prediction overlaps an unlabeled box (pose_eval.py:555-557)."""
+    if unl.shape[1] == 0:
+        return False
+    return bool((_matrix_iou(unl, _boxes_from_annos([pr]))
+                 > IOU_THRESHOLD).max())
+
+
 def average_precision_for_loc(data_gt: Union[str, dict],
                               data_pr: Union[str, dict],
                               unlabeled_boxes: Optional[dict] = None,
                               oks_threshold: float = 0.5,
                               n_joints: int = 17):
     """Returns (ap_list, recall_list) of length n_joints+1 (last = mean),
-    values in percent (pose_eval.py:439-595)."""
+    values in percent (pose_eval.py:439-595).
+
+    unlabeled_boxes: the reference's box-file dict
+    {'labels': {'%06d.jpg' % (image_id - 1): [{'label_id', 'box'}, ...]}}
+    (or None for no forgiveness, the mode the shipped experiments use)."""
     if isinstance(data_gt, str):
         with open(data_gt) as f:
             data_gt = json.load(f)
@@ -98,6 +138,7 @@ def average_precision_for_loc(data_gt: Union[str, dict],
         with open(data_pr) as f:
             data_pr = json.load(f)
     pr_anns = data_pr["annotations"] if isinstance(data_pr, dict) else data_pr
+    box_labels = (unlabeled_boxes or {}).get("labels", {})
 
     all_iids = [im["id"] for im in data_gt["images"]]
     gt_by = {iid: [] for iid in all_iids}
@@ -114,17 +155,20 @@ def average_precision_for_loc(data_gt: Union[str, dict],
                   for _ in range(n_joints)]
     n_gt_all = np.zeros((n_joints, len(all_iids)))
 
+    def emit(ii, labels):
+        for k in range(n_joints):
+            scores_all[k][ii] = np.append(scores_all[k][ii], 1.0)
+            labels_all[k][ii] = np.append(labels_all[k][ii], int(labels[k]))
+
     for ii, iid in enumerate(all_iids):
         gts = gt_by[iid]
         prs = pr_by[iid]
-        unl = np.zeros((4, 0))
-        if unlabeled_boxes:
-            unl = unlabeled_boxes.get(iid, np.zeros((4, 0)))
+        unl = _unseen_boxes(box_labels.get("{:06d}.jpg".format(iid - 1), []),
+                            gts)
 
         if gts and prs:
-            dist = _per_kp_oks_matrix(gts, prs)
-            match = dist > oks_threshold           # (G, P, K)
-            pck = match.sum(-1)                    # (G, P)
+            match = _per_kp_oks_matrix(gts, prs) > oks_threshold  # (G, P, K)
+            pck = match.sum(-1)                                   # (G, P)
             # greedy GT->prediction matching (pose_eval.py:528-539)
             pr_to_gt = np.full(len(prs), -1)
             left = list(range(len(prs)))
@@ -135,58 +179,44 @@ def average_precision_for_loc(data_gt: Union[str, dict],
                 pr_to_gt[m] = g
                 if not left:
                     break
-            for p in range(len(prs)):
-                if pr_to_gt[p] >= 0:
-                    m = match[pr_to_gt[p], p, :]
-                    for k in range(n_joints):
-                        scores_all[k][ii] = np.append(scores_all[k][ii], 1.0)
-                        labels_all[k][ii] = np.append(labels_all[k][ii],
-                                                      int(m[k]))
-                else:
-                    got = False
-                    if unl.shape[1] > 0:
-                        got = bool((_matrix_iou(
-                            unl.T.reshape(-1, 4).T if unl.ndim == 2 else unl,
-                            _boxes_from_annos([prs[p]]))
-                            > IOU_THRESHOLD).max())
-                    if not got:
-                        for k in range(n_joints):
-                            scores_all[k][ii] = np.append(
-                                scores_all[k][ii], 1.0)
-                            labels_all[k][ii] = np.append(
-                                labels_all[k][ii], 0)
+            # label emission in the reference's order: the loop index runs
+            # over predictions but selects MATCHED-GT values first
+            # (pose_eval.py:541-568) — see module docstring
+            for ridx in range(len(prs)):
+                hit = np.argwhere(pr_to_gt == ridx)
+                if hit.size:
+                    assert hit.size == 1
+                    emit(ii, match[ridx, hit[0, 0], :])
+                elif not _forgiven(prs[ridx], unl):
+                    emit(ii, np.zeros(n_joints))
         elif not gts:
             for p in range(len(prs)):
-                got = False
-                if unl.shape[1] > 0:
-                    got = bool((_matrix_iou(
-                        unl, _boxes_from_annos([prs[p]]))
-                        > IOU_THRESHOLD).max())
-                if not got:
-                    for k in range(n_joints):
-                        scores_all[k][ii] = np.append(scores_all[k][ii], 1.0)
-                        labels_all[k][ii] = np.append(labels_all[k][ii], 0)
+                if not _forgiven(prs[p], unl):
+                    emit(ii, np.zeros(n_joints))
 
-        for _ in gts:
-            n_gt_all[:, ii] += 1
+        n_gt_all[:, ii] += len(gts)
 
-    ap = np.full(n_joints + 1, np.nan)
-    rec = np.full(n_joints + 1, np.nan)
+    # computeMetrics (pose_eval.py:411-437): zero init — dataless joints
+    # keep AP 0 and still enter the mean
+    ap = np.zeros(n_joints + 1)
+    rec = np.zeros(n_joints + 1)
     for k in range(n_joints):
-        scores = np.concatenate(scores_all[k]) if scores_all[k] else \
-            np.zeros(0)
-        labels = np.concatenate(labels_all[k]) if labels_all[k] else \
-            np.zeros(0)
+        scores = np.concatenate(scores_all[k])
+        labels = np.concatenate(labels_all[k])
         n_gt = n_gt_all[k].sum()
-        if len(scores) == 0 or n_gt == 0:
+        if len(scores) == 0:
             continue
+        # computeRPC (:370-388) — same argsort call as the reference so
+        # equal-score tie order is bit-identical
         order = np.asarray(scores).argsort()[::-1]
         ls = labels[order]
-        tp = np.cumsum(ls == 1)
-        recall = tp / n_gt
-        precision = tp / np.arange(1, len(ls) + 1)
-        ap[k] = _voc_ap(recall, precision) * 100
-        rec[k] = recall[-1] * 100 if len(recall) else np.nan
-    ap[n_joints] = np.nanmean(ap[:n_joints])
-    rec[n_joints] = np.nanmean(rec[:n_joints])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.cumsum(ls == 1)
+            recall = tp / n_gt
+            precision = tp / np.arange(1, len(ls) + 1)
+            ap[k] = _voc_ap(recall, precision) * 100
+            rec[k] = recall[-1] * 100
+    with np.errstate(invalid="ignore"):
+        ap[n_joints] = ap[:n_joints][~np.isnan(ap[:n_joints])].mean()
+        rec[n_joints] = rec[:n_joints][~np.isnan(rec[:n_joints])].mean()
     return ap.tolist(), rec.tolist()

@@ -35,6 +35,11 @@ def get_ospa(gt_annots, pr_annots, sigmas=None):
         return 1
     if len(gt_annots) != 1 and len(pr_annots) == 0:
         return 1
+    if len(pr_annots) == 0:
+        # the len(gt)==1 case falls through the quirk above in the
+        # reference too (pose_eval.py:324): empty assignment, cost 0,
+        # cardinality 1, max(G,P)=1 → 1.0
+        return 1.0
     sig = JRDB_SIGMAS if sigmas is None else sigmas
     gk = np.array([g["keypoints"] for g in gt_annots], np.float64)
     pk = np.array([p["keypoints"] for p in pr_annots], np.float64)
