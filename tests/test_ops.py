@@ -296,6 +296,28 @@ class TestWarp:
             for i in range(n)])
         np.testing.assert_allclose(got, golden, rtol=1e-4, atol=2e-3)
 
+    def test_separable_warp_chunked_path_exact(self, monkeypatch):
+        """Forcing a tiny _WARP_BUDGET_BYTES must route through the
+        lax.map sub-chunk path (incl. ragged tail padding) and reproduce
+        the unchunked result bit-exactly."""
+        from vatl4pose_tpu.ops import warp as warp_mod
+        frames = RNG.uniform(0, 255, size=(4, 120, 160, 3)).astype(np.float32)
+        n = 7                                   # odd: exercises tail padding
+        fidx = RNG.integers(0, 4, n)
+        mats = np.zeros((n, 2, 3), np.float32)
+        mats[:, 0, 0] = RNG.uniform(0.3, 1.5, n)
+        mats[:, 1, 1] = RNG.uniform(0.3, 1.5, n)
+        mats[:, 0, 2] = RNG.uniform(-60, 140, n)
+        mats[:, 1, 2] = RNG.uniform(-60, 110, n)
+        args = (jnp.asarray(frames), jnp.asarray(fidx), jnp.asarray(mats),
+                (64, 48))
+        full = np.asarray(ops.warp_axis_aligned_batch(*args))
+        # budget for exactly 2 images per chunk -> k=4 chunks, 1 pad slot
+        monkeypatch.setattr(warp_mod, "_WARP_BUDGET_BYTES",
+                            2 * 120 * 160 * 3 * 4)
+        chunked = np.asarray(ops.warp_axis_aligned_batch(*args))
+        np.testing.assert_array_equal(chunked, full)
+
     def test_crop_batch_shapes_and_bbox(self):
         frames = RNG.uniform(0, 255, size=(3, 120, 160, 3)).astype(np.float32)
         boxes = np.array([[10, 10, 60, 100], [30, 20, 90, 110]], np.float32)

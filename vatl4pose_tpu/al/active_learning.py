@@ -540,6 +540,11 @@ class ActiveLearning:
         if self.filter == "Random":
             return random_filter(candidate_list, self.query_size, self.rng)
         if self.filter == "Coreset":
+            # clamp like the K-Means branches: with the taken-mask, an
+            # over-sized request would pad the tail with argmax-over--inf
+            # index-0 repeats once every unlabeled sample is picked
+            if n_un < self.query_size:
+                self.query_size = n_un
             unc_full = np.zeros(self.eval_len)
             unc_full[candidate_list] = np.asarray(total_score)
             if self.uncertainty == "None" or self.cfg.VAL.UNC_LAMBDA == 0:

@@ -37,8 +37,9 @@ def parse_args(argv=None):
                         "reference's opt.profile analog, "
                         "Run_active_learning.py:100-103)")
     p.add_argument("--speedup", action="store_true",
-                   help="bf16 matmuls on the forward path (not reproducible "
-                        "vs parity mode)")
+                   help="bf16 matmuls on the scoring forward path AND bf16 "
+                        "mixed-precision retraining (changes training "
+                        "numerics; not reproducible vs parity mode)")
     p.add_argument("--seedfix", action="store_true")
     p.add_argument("--vis", action="store_true")
     p.add_argument("--memo", type=str, default="test")
@@ -288,7 +289,9 @@ def optimize_alc(cfg, opt, video_list):
     study = create_study(direction="maximize", sampler=sampler)
     study.optimize(objective, n_trials=n_trials)
     print(f"Best ALC: {study.best_value} Best params: {study.best_params}")
+    # both artifacts the reference emits (Run_active_learning.py:205-209)
     study.plot_history(os.path.join(opt.work_dir, "optuna_history.png"))
+    study.plot_slice(os.path.join(opt.work_dir, "optuna_slice.png"))
     return study
 
 

@@ -203,6 +203,11 @@ def warp_rotated_traced(frames, frame_idx, pre_mats, phi, out_size,
     frames: (F, H, W, C) f32; returns (N, oh, ow, C) f32 crops.
     """
     oh, ow = int(out_size[0]), int(out_size[1])
+    # decompose_inv_mats centers the crop continuously at (canvas-1)/2 while
+    # the extraction below slices at integer (canvas-oh)//2 — for odd sizes
+    # that would silently shift the crop by half a pixel
+    assert oh % 2 == 0 and ow % 2 == 0, \
+        f"warp_rotated_traced requires even crop sizes, got {(oh, ow)}"
     # pre-stage: separable MXU warp frame -> (N, S, S, C)
     c0 = warp_axis_aligned_batch(frames, frame_idx, pre_mats,
                                  (canvas, canvas))

@@ -17,6 +17,10 @@ import numpy as np
 
 from .affine import box_to_center_scale, center_scale_to_box, get_affine_transform
 
+# peak-memory cap for the (chunk, H, W, C) gathered-frames buffer inside
+# warp_axis_aligned_batch — large source frames sub-chunk under this
+_WARP_BUDGET_BYTES = 256 * 2 ** 20
+
 __all__ = ["warp_affine_bilinear", "warp_axis_aligned_batch", "crop_batch",
            "RGB_MEAN"]
 
@@ -95,13 +99,36 @@ def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size):
 
     wy = hat(sy, H)                        # (N, oh, H)
     wx = hat(sx, W)                        # (N, ow, W)
-    imgs = frames[frame_idx]               # (N, H, W, C) contiguous gather
-    # HIGHEST matmul precision: pixel values up to 255 — default-bf16
-    # accumulation would quantize crops by ~0.5 intensity steps
-    tmp = jnp.einsum("now,nhwc->nhoc", wx, imgs,
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("noh,nhxc->noxc", wy, tmp,
-                      precision=jax.lax.Precision.HIGHEST)
+    fi = jnp.asarray(frame_idx)
+
+    def warp_chunk(fi_c, wx_c, wy_c):
+        imgs = frames[fi_c]                # (n, H, W, C) contiguous gather
+        # HIGHEST matmul precision: pixel values up to 255 — default-bf16
+        # accumulation would quantize crops by ~0.5 intensity steps
+        tmp = jnp.einsum("now,nhwc->nhoc", wx_c, imgs,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("noh,nhxc->noxc", wy_c, tmp,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # cap the materialized frames[fi] buffer: at large H*W (in-HBM 1080p
+    # scoring) a full (N, H, W, C) gather peaks at multiple GB.  Sub-chunk
+    # via lax.map so peak extra memory stays ~_WARP_BUDGET_BYTES; shapes are
+    # static so the split is trace-time only.
+    N = fi.shape[0]
+    bytes_per_img = H * W * frames.shape[3] * 4
+    chunk = max(1, _WARP_BUDGET_BYTES // max(1, bytes_per_img))
+    if N <= chunk:
+        return warp_chunk(fi, wx, wy)
+    k = -(-N // chunk)
+    pad = k * chunk - N
+    fi_p = jnp.concatenate([fi, jnp.zeros(pad, fi.dtype)])
+    wx_p = jnp.concatenate([wx, jnp.zeros((pad,) + wx.shape[1:], wx.dtype)])
+    wy_p = jnp.concatenate([wy, jnp.zeros((pad,) + wy.shape[1:], wy.dtype)])
+    out = jax.lax.map(
+        lambda t: warp_chunk(*t),
+        (fi_p.reshape(k, chunk), wx_p.reshape(k, chunk, *wx.shape[1:]),
+         wy_p.reshape(k, chunk, *wy.shape[1:])))
+    return out.reshape(k * chunk, out_h, out_w, -1)[:N]
 
 
 def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
