@@ -64,8 +64,12 @@ def posetrack_train(root: str, mode: str):
             w, h = _img_size(os.path.join(root, image["file_name"]))
             image["width"] = w
             image["height"] = h
+        # rebuild with exactly the three keys the reference emits
+        # (make_new_annotation.py:60-88 builds a fresh seq_dict)
+        out = {"images": data["images"], "annotations": data["annotations"],
+               "categories": data["categories"]}
         with open(os.path.join(dst, os.path.basename(f)), "w") as fh:
-            json.dump(data, fh)
+            json.dump(out, fh)
 
 
 def integrate(root: str, mode: str):
@@ -98,43 +102,73 @@ def integrate(root: str, mode: str):
 
 def jrdb(root: str, split: str, scene_list: str):
     """Re-key JRDB-Pose stitched-image annotations into per-scene COCO jsons
-    with composite 7-digit image ids (data/jrdb-pose/make_new_annotation.py)."""
+    (parity: data/jrdb-pose/make_new_annotation.py:6-92).
+
+    Raw layout (the JRDB2022 release):
+      {root}/jrdb2022/labels/labels_2d_pose_stitched_coco/{seq}.json  pose
+      {root}/jrdb2022/labels/labels_2d_stitched/{seq}.json            boxes
+    Output: {root}/activelearning/{split}/{seq_id:02d}_jrdb-pose.json with
+    8-digit composite image ids int('1' + 2-digit seq + 5-digit frame),
+    annotation ids suffixed with the 3-digit track id, keypoint visibility
+    squashed to {0, 1.0}, and bbox/area taken from the detection labels'
+    matching "pedestrian:<track_id>" entry.
+    """
     with open(scene_list) as fh:
         scenes = [s.strip() for s in fh if s.strip()]
+    label_root = os.path.join(root, "jrdb2022", "labels")
     dst = os.path.join(root, "activelearning", split)
     os.makedirs(dst, exist_ok=True)
-    for vid, scene in enumerate(scenes):
-        src = os.path.join(root, "labels", "pose", f"{scene}.json")
-        if not os.path.exists(src):
-            print(f"skip {scene}: no {src}")
-            continue
-        with open(src) as fh:
-            data = json.load(fh)
+    for seq_cnt, scene in enumerate(scenes):
+        seq_id = f"{seq_cnt:02d}"
+        with open(os.path.join(label_root, "labels_2d_stitched",
+                               f"{scene}.json")) as fh:
+            d_det = json.load(fh)
+        with open(os.path.join(label_root, "labels_2d_pose_stitched_coco",
+                               f"{scene}.json")) as fh:
+            d_pose = json.load(fh)
         images, anns = [], []
-        for img in data["images"]:
-            frame = int(os.path.splitext(
-                os.path.basename(img["file_name"]))[0])
-            comp = int(f"{vid:03d}{frame:04d}")
-            img["id"] = img["image_id"] = comp
-            img["file_name"] = os.path.join(
-                "images", "image_stitched", scene,
-                os.path.basename(img["file_name"]))
-            w, h = _img_size(os.path.join(root, img["file_name"]))
-            img["width"] = w
-            img["height"] = h
-            images.append(img)
-        id_map = {im_old: im["id"] for im_old, im in
-                  zip([i.get("old_id", i["id"]) for i in images], images)}
-        for ann in data["annotations"]:
-            ann["image_id"] = id_map.get(ann["image_id"], ann["image_id"])
-            ann["iscrowd"] = 0
-            ann["area"] = ann["bbox"][2] * ann["bbox"][3]
-            anns.append(ann)
+        seen = set()
+        wh = None
+        for k, d_ann in enumerate(d_pose["annotations"]):
+            image_id = d_ann["image_id"]
+            if image_id >= 150:      # ref caps at 150 frames per scene
+                continue
+            d_image = d_pose["images"][image_id - 1]
+            base = d_image["file_name"].split("/")[-1]
+            new_image_id = int(f"1{seq_id}{image_id:05d}")
+            if image_id not in seen:
+                seen.add(image_id)
+                if wh is None:       # ref reads size once (k==0 frame)
+                    w, h = _img_size(os.path.join(
+                        root, "images", d_image["file_name"]))
+                    wh = (w, h)
+                images.append({
+                    "id": new_image_id, "image_id": new_image_id,
+                    "vid_id": seq_id,
+                    "file_name": "images/" + d_image["file_name"],
+                    "is_labeled": True, "has_labeled_person": True,
+                    "height": wh[1], "width": wh[0]})
+            track_id = d_ann["track_id"]
+            ann = {"track_id": track_id, "image_id": new_image_id,
+                   "category_id": d_ann["category_id"],
+                   "num_keypoints": d_ann["num_keypoints"],
+                   "is_crowd": 0,
+                   "id": int(str(new_image_id) + str(track_id).zfill(3))}
+            kps = list(d_ann["keypoints"])
+            for i in range(2, len(kps), 3):
+                kps[i] = 0 if kps[i] == 0 else 1.0
+            ann["keypoints"] = kps
+            for person in d_det["labels"][base]:
+                if person["label_id"] == "pedestrian:" + str(track_id):
+                    ann["bbox"] = person["box"]
+                    ann["area"] = person["attributes"]["area"]
+                    anns.append(ann)
+                    break
         out = {"images": images, "annotations": anns,
-               "categories": data["categories"]}
-        with open(os.path.join(dst, f"{vid}_jrdb-pose.json"), "w") as fh:
+               "categories": d_pose["categories"]}
+        with open(os.path.join(dst, f"{seq_id}_jrdb-pose.json"), "w") as fh:
             json.dump(out, fh)
-        print(f"{scene} -> {vid}_jrdb-pose.json ({len(images)} frames)")
+        print(f"{scene} -> {seq_id}_jrdb-pose.json ({len(images)} frames)")
 
 
 def main(argv=None):
