@@ -65,6 +65,20 @@ class TestTPESampler:
         import os
         assert os.path.exists(p)
 
+    def test_slice_plot(self, tmp_path):
+        study = create_study(sampler=TPESampler(seed=3))
+        study.optimize(
+            lambda t: t.suggest_float("unc_lambda", 1e-3, 100, log=True),
+            n_trials=12)
+        p = study.plot_slice(str(tmp_path / "s.png"))
+        import os
+        assert os.path.exists(p)
+        # no suggest_* calls (the ref's shipped single-point grid): still
+        # renders
+        fixed = create_study(sampler=TPESampler(seed=4))
+        fixed.optimize(lambda t: 1.0, n_trials=3)
+        assert os.path.exists(fixed.plot_slice(str(tmp_path / "s2.png")))
+
 
 class TestOptimizeCLI:
     def test_optimize_grid_smoke(self, tmp_path, monkeypatch):

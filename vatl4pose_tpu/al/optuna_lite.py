@@ -161,6 +161,38 @@ class Study:
         plt.close(fig)
         return path
 
+    def plot_slice(self, path: str):
+        """Per-parameter slice figure (optuna.visualization.plot_slice
+        equivalent, Run_active_learning.py:208-209): objective value vs
+        each suggested parameter, trial number as the colour scale."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        names = sorted({n for t, _ in self.records for n in t.params})
+        if not names:                      # no suggest_* calls (fixed study)
+            names = [None]
+        fig, axes = plt.subplots(1, len(names),
+                                 figsize=(5 * len(names), 4), squeeze=False)
+        for ax, name in zip(axes[0], names):
+            if name is None:
+                ax.plot([v for _, v in self.records], "o")
+                ax.set_xlabel("Trial")
+            else:
+                pts = [(t.params[name], v, t.number)
+                       for t, v in self.records if name in t.params]
+                xs, vs, ns = zip(*pts)
+                sc = ax.scatter(xs, vs, c=ns, cmap="viridis", alpha=0.8)
+                fig.colorbar(sc, ax=ax, label="Trial")
+                ax.set_xlabel(name)
+                if min(xs) > 0 and max(xs) / max(min(xs), 1e-12) > 100:
+                    ax.set_xscale("log")
+            ax.set_ylabel("Objective")
+            ax.grid()
+        fig.tight_layout()
+        fig.savefig(path, dpi=140)
+        plt.close(fig)
+        return path
+
 
 def create_study(direction: str = "maximize", sampler=None) -> Study:
     return Study(direction, sampler or TPESampler())
