@@ -19,8 +19,16 @@ from typing import Any, Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import linen as _nn
+
 from .layers import torch_batchnorm
 from .resnet import BasicBlock, Bottleneck
+
+# The torch reference re-initializes EVERY conv with normal(std=0.001)
+# (hrnet.py:457-472 _initialize) — without it a from-scratch HRNet starts
+# with ~N(0,6) heatmap outputs (branch-sum fusion amplifies the default
+# fan-in init) and spends hundreds of epochs deflating before localizing.
+HRNET_CONV_INIT = _nn.initializers.normal(0.001)
 
 DEFAULT_STAGES = {
     "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "NUM_BLOCKS": [4, 4],
@@ -52,7 +60,8 @@ class _ConvBN(nn.Module):
         p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel,) * 2,
                     strides=(self.stride,) * 2,
-                    padding=((p, p), (p, p)), use_bias=False, name="conv")(x)
+                    padding=((p, p), (p, p)), use_bias=False,
+                    kernel_init=HRNET_CONV_INIT, name="conv")(x)
         x = torch_batchnorm("bn", not self.train)(x)
         return nn.relu(x) if self.relu else x
 
@@ -80,10 +89,12 @@ class HighResolutionModule(nn.Module):
                 name = f"branch{i}_{b}"
                 if self.block == "BOTTLENECK":
                     x = Bottleneck(self.num_channels[i], 1, has_ds,
-                                   self.train, name=name)(x)
+                                   self.train, kernel_init=HRNET_CONV_INIT,
+                                   name=name)(x)
                 else:
                     x = BasicBlock(self.num_channels[i], 1, has_ds,
-                                   self.train, name=name)(x)
+                                   self.train, kernel_init=HRNET_CONV_INIT,
+                                   name=name)(x)
             outs.append(x)
         if self.num_branches == 1:
             return outs
@@ -128,7 +139,9 @@ class PoseHighResolutionNet(nn.Module):
         x = _ConvBN(64, 3, 2, True, self.train, name="stem1")(x)
         x = _ConvBN(64, 3, 2, True, self.train, name="stem2")(x)
         for b in range(4):
-            x = Bottleneck(64, 1, b == 0, self.train, name=f"layer1_{b}")(x)
+            x = Bottleneck(64, 1, b == 0, self.train,
+                           kernel_init=HRNET_CONV_INIT,
+                           name=f"layer1_{b}")(x)
 
         pre_channels = [256]
         ys = [x]
@@ -173,7 +186,8 @@ class PoseHighResolutionNet(nn.Module):
         p = 1 if self.final_conv_kernel == 3 else 0
         hm = nn.Conv(self.num_joints,
                      (self.final_conv_kernel,) * 2,
-                     padding=((p, p), (p, p)), name="final_layer")(ys[0])
+                     padding=((p, p), (p, p)), kernel_init=HRNET_CONV_INIT,
+                     name="final_layer")(ys[0])
         if return_embedding:
             # New capability (absent in the reference): GAP of the
             # highest-resolution stage-4 feature, zero-padded to the 2048-d

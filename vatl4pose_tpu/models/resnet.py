@@ -33,20 +33,27 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     train: bool = False
+    # override for families whose torch _initialize() re-inits every conv
+    # (HRNet uses normal(0.001), hrnet.py:459-462); None = flax default
+    kernel_init: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
+        kw = {} if self.kernel_init is None else \
+            {"kernel_init": self.kernel_init}
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+                      padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
+                      **kw)(x)
         out = torch_batchnorm("bn1", not self.train)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, name="conv2", **kw)(out)
         out = torch_batchnorm("bn2", not self.train)(out)
         if self.has_downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, name="downsample_conv",
+                               **kw)(x)
             identity = torch_batchnorm("downsample_bn", not self.train)(identity)
         return nn.relu(out + identity)
 
@@ -58,11 +65,15 @@ class Bottleneck(nn.Module):
     train: bool = False
     use_se: bool = False
     dcn: Optional[dict] = None
+    kernel_init: Optional[object] = None   # see BasicBlock.kernel_init
 
     @nn.compact
     def __call__(self, x):
+        kw = {} if self.kernel_init is None else \
+            {"kernel_init": self.kernel_init}
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1",
+                      **kw)(x)
         out = torch_batchnorm("bn1", not self.train)(out)
         out = nn.relu(out)
         if self.dcn is not None:
@@ -81,17 +92,18 @@ class Bottleneck(nn.Module):
         else:
             out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                           padding=((1, 1), (1, 1)), use_bias=False,
-                          name="conv2")(out)
+                          name="conv2", **kw)(out)
         out = torch_batchnorm("bn2", not self.train)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3",
+                      **kw)(out)
         out = torch_batchnorm("bn3", not self.train)(out)
         if self.use_se:
             out = SELayer(self.planes * 4, name="se")(out)
         if self.has_downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="downsample_conv")(x)
+                               name="downsample_conv", **kw)(x)
             identity = torch_batchnorm("downsample_bn", not self.train)(identity)
         return nn.relu(out + identity)
 
