@@ -124,6 +124,15 @@ class ActiveLearning:
         self.variables = jax.tree.map(jnp.asarray, self.pretrained_vars)
         model_type = cfg.MODEL.TYPE
         aug_cfg = cfg.DATASET.TRAIN.get("AUG", {})
+        self.mesh = None
+        if getattr(opt, "data_parallel", False) and len(jax.devices()) > 1:
+            # DP over all local chips (nn.DataParallel analog,
+            # ActiveLearning.py:233): scoring per-sample axes AND each
+            # retrain step's batch axis shard over 'data'
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(len(jax.devices()))
+            self._log(f"[DP] scoring+retrain sharded over "
+                      f"{len(jax.devices())} devices")
         self.retrainer = Retrainer(
             self.model_train, cfg.RETRAIN, model_type,
             input_size=tuple(cfg.DATA_PRESET.IMAGE_SIZE),
@@ -137,7 +146,8 @@ class ActiveLearning:
                 prob_half_body=aug_cfg.get("PROB_HALF_BODY", -1)),
             joint_pairs=self.dataset.joint_pairs,
             seed=getattr(opt, "seed", 166) or 166,
-            bf16=bool(getattr(opt, "speedup", False)))
+            bf16=bool(getattr(opt, "speedup", False)),
+            mesh=self.mesh)
         self.opt_state = self.retrainer.init_opt_state(
             self.variables["params"])
         self.retrain_epoch = cfg.RETRAIN.BASE
@@ -170,14 +180,7 @@ class ActiveLearning:
         need_emb = (self.representativeness not in ("None", "Random")
                     or self.filter not in ("None", "Random"))
         self.speedup = bool(getattr(opt, "speedup", False))
-        mesh = None
-        if getattr(opt, "data_parallel", False) and len(jax.devices()) > 1:
-            # DP scoring over all local chips (nn.DataParallel analog,
-            # ActiveLearning.py:233) — per-sample axes shard over 'data'
-            from ..parallel.mesh import make_mesh
-            mesh = make_mesh(len(jax.devices()))
-            self._log(f"[DP] scoring sharded over {len(jax.devices())} "
-                      "devices")
+        mesh = self.mesh
         self.engine = ScoringEngine(
             self.model_eval,
             ScoringConfig(uncertainty=self.uncertainty,
@@ -191,6 +194,12 @@ class ActiveLearning:
             mesh=mesh)
         self._log(f"[[AL strategy: {self.strategy}]] video {self.video_id} "
                   f"N={self.eval_len} model={cfg.MODEL.TYPE}")
+        if not self.streaming:
+            # compile the retrain scan program in the background while
+            # round 0 scores/evaluates (kills the ~25s round-0 retrain
+            # compile spike; no-op chunk, throwaway rng)
+            self.retrainer.prewarm(self.variables, self.opt_state,
+                                   self.data, self.frames_dev, self.img_wh)
         if getattr(opt, "verbose", False):
             # dataset smoke info (test_dataset, ActiveLearning.py:688-691)
             assert self.eval_len >= 1

@@ -49,7 +49,7 @@ class Retrainer:
     def __init__(self, model_train, retrain_cfg, model_type: str,
                  input_size=(256, 192), hm_size=(64, 48), sigma=2.0,
                  aug: Optional[AugCfg] = None, joint_pairs=None,
-                 seed: int = 166, bf16: bool = False):
+                 seed: int = 166, bf16: bool = False, mesh=None):
         self.model = model_train
         self.cfg = retrain_cfg
         self.input_size = tuple(input_size)
@@ -69,14 +69,37 @@ class Retrainer:
         self.batch_size = retrain_cfg["BATCH_SIZE"]
         self.epoch_counter = 0  # survives rounds in continual mode
         self.rng = np.random.default_rng(seed)
+        self._warmed = False
         # TPU: gather-free rotation warp (kernels/rot_warp — shear passes
         # via pltpu.roll; the general bilinear gather costs ~3 ms/crop on
         # v5e).  CPU (tests/parity harness): XLA gather is fine and avoids
         # pallas interpret mode.
-        self.rot_kernel = jax.default_backend() != "cpu"
+        # Under a DP mesh the XLA SPMD partitioner cannot partition the
+        # custom pallas rotation kernel over the sharded batch axis — use
+        # the gather warp there (CPU test meshes hit this path anyway).
+        self.rot_kernel = jax.default_backend() != "cpu" and mesh is None
+        self.mesh = mesh
         self._step = jax.jit(self._train_step)
         self._step_crops = jax.jit(self._train_step_crops)
-        self._steps_scan = jax.jit(self._train_steps_scan)
+        if mesh is None:
+            self._steps_scan = jax.jit(self._train_steps_scan)
+        else:
+            # DP retraining over the 'data' mesh axis: each scan step's
+            # batch axis (axis 1 under the leading step axis T) shards
+            # across devices; params/opt/frames replicate.  Inside jit XLA
+            # inserts the gradient psum and makes the BatchNorm batch
+            # reduction global (SyncBatchNorm semantics) — equivalence vs
+            # the single-device step is asserted in
+            # tests/test_sharding.py::TestRetrainerMesh.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            xsh = NamedSharding(mesh, P(None, "data"))
+            tsh = NamedSharding(mesh, P(None))
+            self._steps_scan = jax.jit(
+                self._train_steps_scan,
+                in_shardings=(repl, repl, repl, xsh, xsh, xsh, xsh, xsh,
+                              xsh, tsh, tsh),
+                out_shardings=(repl, repl, repl))
 
     def reset_schedule(self):
         self.epoch_counter = 0
@@ -144,6 +167,48 @@ class Retrainer:
             body, (variables, opt_state),
             (frame_idx, mats, phi, joints, vis, valid, lr, upd))
         return variables, opt_state, stats
+
+    def prewarm(self, variables, opt_state, data, frames_dev, img_wh,
+                block: bool = False):
+        """Compile the scan-chunk program BEFORE the first retrain call.
+
+        Dispatches one all-no-op chunk (upd=False masks every state
+        update) from a daemon thread so the 20-40s first compile overlaps
+        round-0 evaluation/scoring instead of inflating round-0's retrain
+        phase (the r2 fullscale run paid 30.1s on round 0 vs 5-10s steady
+        — cycle_times.jsonl).  Uses a throwaway rng so the training rng
+        stream is untouched; outputs are discarded.
+        """
+        if self._warmed or frames_dev is None or len(data.frame_idx) == 0:
+            return None
+        self._warmed = True
+        import threading
+        bs, C = self.batch_size, STEP_CHUNK
+        rng = np.random.default_rng(0)
+        sel = np.resize(np.arange(len(data.frame_idx))[:1], bs)
+        inv_mats, _, joints, vis, _ = train_sample_geometry(
+            data.bboxes[sel], data.joints_xy[sel], data.joints_vis[sel],
+            img_wh, self.input_size, self.aug, self.joint_pairs, rng)
+        mats, phi = self._warp_mats(inv_mats)
+        tile = lambda a: jnp.asarray(  # noqa: E731
+            np.tile(np.asarray(a)[None], (C,) + (1,) * np.ndim(a)))
+        args = (variables, opt_state, frames_dev,
+                tile(data.frame_idx[sel]), tile(mats), tile(phi),
+                tile(joints), tile(vis), tile(np.zeros(bs, bool)),
+                jnp.zeros(C, jnp.float32), jnp.zeros(C, bool))
+
+        def go():
+            try:
+                jax.block_until_ready(self._steps_scan(*args))
+            except Exception:   # never take down the AL loop from a warmup
+                pass
+
+        t = threading.Thread(target=go, daemon=True,
+                             name="retrain-prewarm")
+        t.start()
+        if block:
+            t.join()
+        return t
 
     def _train_step_crops(self, variables, opt_state, crops_u8, joints, vis,
                           valid, lr):
