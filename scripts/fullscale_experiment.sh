@@ -47,3 +47,17 @@ python -m vatl4pose_tpu.cli.run_active_learning \
   --video_id 000200 --memo fullscale_jrdb --seedfix --continual \
   --synthetic --synth_frames 80 --synth_persons 3 \
   --synth_seed 888 --synth_shift $SHIFT
+
+# HRNet-W32 on the JRDB family (BASELINE config #5: "HRNet on JRDB-Pose
+# full ATL") — pretrain to AP~1.0 on the 10-video fixture, then DUW on a
+# shifted unseen video -> exp/AL_fullscale_hrnet_jrdb
+python -m vatl4pose_tpu.cli.jrdbpose_train \
+  --cfg exp/pretrain_hrnet_jrdb.yaml --synthetic --synth_videos 10 \
+  --exp-id pretrain_hrnet_jrdb --work_dir exp/pretrain_hrnet_jrdb
+
+python -m vatl4pose_tpu.cli.run_active_learning \
+  --cfg exp/al_hrnet_jrdb.yaml \
+  --uncertainty THC+WPU --representativeness Influence --filter Coreset \
+  --video_id 000300 --memo fullscale_hrnet_jrdb --seedfix --continual \
+  --synthetic --synth_frames 80 --synth_persons 3 \
+  --synth_seed 999 --synth_shift $SHIFT
