@@ -129,6 +129,20 @@ class TestConvTranspose:
         np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                    rtol=1e-4, atol=1e-5)
 
+    def test_subpixel_equals_dilated(self):
+        """The MXU-dense subpixel decomposition is numerically the dilated
+        conv (same taps, one dense contraction) across sizes incl. odd."""
+        from vatl4pose_tpu.models.layers import TorchConvTranspose
+        for h, w, cin, cout in ((8, 6, 4, 5), (7, 5, 3, 2), (1, 1, 2, 2)):
+            x = RNG.normal(0, 1, size=(2, h, w, cin)).astype(np.float32)
+            sub = TorchConvTranspose(features=cout, subpixel=True)
+            dil = TorchConvTranspose(features=cout, subpixel=False)
+            variables = sub.init(jax.random.PRNGKey(1), jnp.asarray(x))
+            a = sub.apply(variables, jnp.asarray(x))
+            b = dil.apply(variables, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestExport:
     def test_roundtrip_torch_flax_torch(self):

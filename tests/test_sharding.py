@@ -11,7 +11,10 @@ class TestMesh:
     def test_eight_virtual_devices(self):
         assert len(jax.devices()) == 8
 
-    def test_dryrun_multichip_full_train_step(self):
+    @pytest.mark.slow
+    def test_dryrun_multichip_production_cycle(self):
+        # full R50@256x192 mini AL cycle on the 8-device mesh — several
+        # minutes on one CPU core; the driver also runs this directly
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
 
@@ -218,6 +221,81 @@ class TestTrainStepEquivalence:
             if na > 0:
                 cos = float(a @ b / (na * nb))
                 assert cos > 0.9999, cos
+
+
+class TestRetrainerMesh:
+    def test_dp_retrain_matches_single_device(self, tmp_path):
+        """Retrainer with a DP mesh (the AL loop's --data_parallel retrain
+        path) reproduces single-device retraining: same host geometry/rng
+        stream, per-chunk losses equal, final params within float-reduction
+        noise."""
+        from vatl4pose_tpu.config import Cfg
+        from vatl4pose_tpu.data.dataset import build_dataset
+        from vatl4pose_tpu.data.pipeline import AugCfg
+        from vatl4pose_tpu.data.synthetic import make_synthetic_video
+        from vatl4pose_tpu.models import build_sppe
+        from vatl4pose_tpu.parallel.mesh import make_mesh
+        from vatl4pose_tpu.train.retrain import Retrainer
+
+        root, ann = make_synthetic_video(str(tmp_path), num_frames=6,
+                                         num_persons=2, width=160,
+                                         height=128)
+        ds = build_dataset(Cfg({"TYPE": "Posetrack21", "ROOT": root,
+                                "ANN": ann, "IMG_PREFIX": ""}))
+        model = build_sppe(Cfg({"TYPE": "SimplePose",
+                                "NUM_DECONV_FILTERS": [64, 64, 64],
+                                "NUM_LAYERS": 18}),
+                           Cfg({"IMAGE_SIZE": [64, 64],
+                                "HEATMAP_SIZE": [16, 16], "SIGMA": 2,
+                                "NUM_JOINTS": 17, "TYPE": "simple"}),
+                           train=True)
+        variables = model.init(jax.random.PRNGKey(5),
+                               jnp.zeros((1, 64, 64, 3)))
+        rcfg = {"OPTIMIZER": "AdamW", "LR": 2.5e-4, "LR_GAMMA": 0.99,
+                "BATCH_SIZE": 8, "WEIGHT_DECAY": 0.7}
+        aug = AugCfg(scale_factor=0.0, rot_factor=0, flip=False)
+        frames = jax.device_put(ds.load_frames())
+        idx = np.arange(len(ds.data))
+        wh = (ds.data.width, ds.data.height)
+
+        def run(mesh):
+            tr = Retrainer(model, rcfg, "SimplePose", input_size=(64, 64),
+                           hm_size=(16, 16), aug=aug,
+                           joint_pairs=ds.joint_pairs, seed=9, mesh=mesh)
+            opt_state = tr.init_opt_state(variables["params"])
+            v, o, loss, acc = tr.retrain(variables, opt_state, ds.data,
+                                         frames, idx, 3, wh)
+            return v, float(loss), float(acc)
+
+        v1, loss1, acc1 = run(None)
+        v8, loss8, acc8 = run(make_mesh(8))
+        # per-shard-then-psum reductions compound through 3 epochs of BN
+        # layers; 1-epoch agreement measured at rel 1e-5, 3-epoch drifts
+        # into the 1e-4 decade
+        assert loss8 == pytest.approx(loss1, rel=2e-3)
+        assert acc8 == pytest.approx(acc1, abs=2e-3)
+        for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v8)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            # Per-element agreement degrades chaotically over 6 steps:
+            # per-shard-then-psum float reductions perturb gradients at
+            # ~1e-7, Adam sign-sensitivity turns that into ~lr-sized
+            # element flips, and BN trajectories compound them (measured:
+            # isolated elements of a BN-var leaf drift to 0.28 abs while
+            # 99.6% of the leaf agrees to 5e-2).  The SHARP detectors of a
+            # sharding bug are the trajectory loss match (above, rel 2e-3
+            # over 3 epochs — a missing/mis-scaled psum shifts it
+            # immediately) and per-leaf norm agreement (a missing gradient
+            # psum scales norms by ~n_dev).  Elementwise is only a
+            # gross-error guard: at most 1% chaotic outliers per leaf,
+            # none of them larger than O(1).  Norm tolerances: rel 5%
+            # (missing psum = ~8x) with an abs floor for near-zero bias
+            # leaves (measured: a norm-0.005 leaf drifts 5% rel).
+            assert np.linalg.norm(b) == pytest.approx(
+                np.linalg.norm(a), rel=5e-2, abs=1e-2)
+            bad = np.abs(b - a) > 5e-2 + 5e-2 * np.abs(a)
+            assert bad.mean() <= 0.01, \
+                f"{bad.sum()}/{bad.size} elements off, max {np.max(np.abs(b - a)):.3g}"
+            assert np.max(np.abs(b - a)) < 0.5
 
 
 class TestShardedScoring:

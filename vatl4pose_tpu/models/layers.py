@@ -33,12 +33,26 @@ class TorchConvTranspose(nn.Module):
     lhs_dilation=s, padding=(k-1-p) on each side, and the kernel flipped
     spatially with in/out channel axes swapped.  The parameter is stored in
     HWIO (flax Conv layout) so converters treat it like a normal conv kernel.
+
+    `subpixel=True` offers an alternative exact lowering for the
+    (k=4, s=2, p=1) config: one dense 2x2 conv producing 4*features
+    channels (one per output phase) followed by a phase interleave —
+    output O[2u+py, 2v+px] only ever reads kernel taps F[py::2, px::2]
+    (F = spatially-flipped kernel), so the four phase kernels partition
+    the 4x4 taps exactly.  MEASURED SLOWER on v5e (13.4 -> 28.2 ms for
+    the 3-deconv head at batch 512 f32, exp/FORWARD_PROFILE.md): the TPU
+    conv engine executes lhs_dilation natively at full MXU rate, while
+    the subpixel form pays extra HBM traffic for the (H+1, W+1, 4C)
+    intermediate + slice/stack/reshape.  Default stays the dilated form;
+    the subpixel path is kept as the documented experiment (exact-match
+    tested in test_models.py::test_subpixel_equals_dilated).
     """
     features: int
     kernel_size: int = 4
     stride: int = 2
     padding: int = 1
     use_bias: bool = False
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -47,19 +61,51 @@ class TorchConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.normal(0.001),
             (k, k, in_ch, self.features))
-        pad = k - 1 - self.padding
-        # conv with flipped kernel over the dilated input == transposed conv.
         flipped = jnp.flip(kernel, axis=(0, 1))
-        out = jax.lax.conv_general_dilated(
-            x, flipped,
-            window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if (self.subpixel and k == 4 and self.stride == 2
+                and self.padding == 1):
+            out = self._subpixel(x, flipped)
+        else:
+            pad = k - 1 - self.padding
+            # conv with flipped kernel over the dilated input == transposed
+            # conv.
+            out = jax.lax.conv_general_dilated(
+                x, flipped,
+                window_strides=(1, 1),
+                padding=[(pad, pad), (pad, pad)],
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias
         return out
+
+    def _subpixel(self, x, flipped):
+        """Exact ConvTranspose(4,2,1) as a dense 2x2 conv + phase interleave.
+
+        Derivation (1-D, pad=k-1-p=2, dilated input Xd[2m+2]=I[m]):
+          out[2u+0] = I[u-1]*F[0] + I[u]*F[2]   -> taps F[0::2], starts u
+          out[2u+1] = I[u]  *F[1] + I[u+1]*F[3] -> taps F[1::2], starts u+1
+        over the 1-padded input, so one conv with padding ((1,1),(1,1))
+        yields every phase as a shifted slice of the same output.
+        """
+        N, H, W, _ = x.shape
+        C = self.features
+        # combined kernel (2,2,in,4C): phase (py,px) -> F[py::2, px::2]
+        comb = jnp.concatenate(
+            [flipped[py::2, px::2]
+             for py in range(2) for px in range(2)], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            x, comb, window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (N,H+1,W+1,4C)
+        phases = [y[:, py:py + H, px:px + W, i * C:(i + 1) * C]
+                  for i, (py, px) in enumerate(
+                      (a, b) for a in range(2) for b in range(2))]
+        out = jnp.stack(phases, axis=3)            # (N,H,W,4,C)
+        out = out.reshape(N, H, W, 2, 2, C)
+        out = out.transpose(0, 1, 3, 2, 4, 5)      # N,H,py,W,px,C
+        return out.reshape(N, 2 * H, 2 * W, C)
 
 
 def pixel_shuffle(x, r: int):
