@@ -223,16 +223,23 @@ def main():
                                  (variables, opt_state, jnp.float32(0)))[2]
         return loop
 
-    dt_tr, _ = _bench_chain(make_train_loop, variables, opt_state, xr,
-                            iters=4)
+    dt_tr, fl_tr = _bench_chain(make_train_loop, variables, opt_state, xr,
+                                iters=4)
     detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
     detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
+    if fl_tr > 0:
+        detail["retrain_step_tflops"] = round(fl_tr / 1e12, 2)
+        detail["retrain_f32_mfu_vs_v5e_peak"] = round(
+            fl_tr / dt_tr / V5E_BF16_PEAK_FLOPS, 3)
 
     # mixed-precision retrain (RETRAIN.BF16 / --speedup in the AL loop)
-    dt_trb, _ = _bench_chain(lambda K: make_train_loop(K, True),
-                             variables, opt_state, xr, iters=4)
+    dt_trb, fl_trb = _bench_chain(lambda K: make_train_loop(K, True),
+                                  variables, opt_state, xr, iters=4)
     detail["retrain_bf16_samples_per_s"] = round(RETRAIN_BATCH / dt_trb, 1)
     detail["retrain_bf16_step_ms"] = round(dt_trb * 1e3, 1)
+    if fl_trb > 0:
+        detail["retrain_bf16_mfu_vs_v5e_peak"] = round(
+            fl_trb / dt_trb / V5E_BF16_PEAK_FLOPS, 3)
 
     # REAL retrain wall (what the AL loop pays): Retrainer.retrain over the
     # scan-chunked path — device warp (rotation kernel), gaussian targets,

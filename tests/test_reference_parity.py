@@ -8,22 +8,27 @@ shared synthetic fixture with identical exported weights, via
 tests/refbridge.
 
 Covered end-to-end (full eval→score→select rounds, query lists must match
-exactly):
-  - THC_L1                       (pure uncertainty top-k)
-  - HP                           (score-based, single forward)
-  - THC_L1 + Influence           (embeddings + combine-weight fusion)
-  - THC_L1 + Influence + Coreset (the DUW machinery minus WPU)
+exactly): every strategy branch the reference can actually execute —
+uncertainty THC_L1 / HP / TPC / MPE / Margin / Entropy, representativeness
+Influence / Random, filters Coreset / weighted / K-Means / Diversity /
+Random (see the parametrize list for the exact combinations and the
+documented exclusions: WPU, VL4Pose, THC_L2 — reference-crash or
+reference-dead branches).
+
+The fixture model is briefly FIT on the clip (cached, gitignored) so
+exported heatmaps are peaked — argmax criteria on flat random-init noise
+would only test tie-breaking of ~1e-6 torch-vs-XLA forward noise.
 
 Retraining is pinned to 0 epochs on both sides (RETRAIN.BASE=ALPHA=0) so
 weights stay identical across rounds — cross-framework training RNG cannot
 produce bit-identical weights, and selection parity is only meaningful
 conditioned on the same model state.
 
-Not covered e2e, and why: WPU strategies crash in the reference as shipped
-on 17-keypoint data (compute_hybrid yields 42-d, the AE expects 38-d —
-ActiveLearning.py:367 vs AutoEncoder.py:12); MPE/Margin would exercise this
-repo's own peak_local_max stand-in inside the reference (circular).  Those
-criteria are covered by direct-method tests below where meaningful.
+Environment shims inside refbridge substitute only packages absent from
+this environment with independently-validated numpy/scipy oracles (e.g.
+skimage peak_local_max → tests/reference_impl.ref_peak_local_max, a
+maximum_filter construction golden-tested against skimage semantics) —
+never this package's own compute code, so parity is non-circular.
 """
 
 from __future__ import annotations
@@ -52,17 +57,82 @@ RATIOS = (0.34, 0.67, 1.0)
 def shared(tmp_path_factory):
     import jax.numpy as jnp
 
+    from vatl4pose_tpu.config import Cfg
+    from vatl4pose_tpu.data.dataset import build_dataset
+    from vatl4pose_tpu.data.pipeline import AugCfg
     from vatl4pose_tpu.data.synthetic import make_synthetic_video
     from vatl4pose_tpu.models import build_sppe
+    from vatl4pose_tpu.train.retrain import Retrainer
 
     root = str(tmp_path_factory.mktemp("refparity"))
+    # vis_prob=1.0: with the default 10% invisible joints, the overfit
+    # fixture model leaves those (sample, joint) heatmap heads unsupervised
+    # — near-flat noise maps whose argmax flips between torch-f32 and
+    # XLA-f32 (measured: two corner modes 5e-6 apart under 1.5e-2 forward
+    # drift), spuriously diverging integer criteria (TPC counts).  All
+    # joints visible → every head trained → decode framework-stable.
     make_synthetic_video(root, num_frames=6, num_persons=3, seed=7,
                          video_id="000001", img_format="png",
-                         layout="posetrack")
+                         layout="posetrack", vis_prob=1.0)
     cfg = _our_cfg(root, "")
     model = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=False)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 192, 3)))
+
+    # Briefly fit the fixture clip so exported heatmaps are PEAKED: with a
+    # random-init model the heatmaps are flat noise, and argmax-based
+    # criteria (TPC) or top-2 peak margins (Margin) reduce to tie-breaking
+    # on ~1e-6 torch-vs-XLA forward noise — parity of those strategies is
+    # only meaningful on structured predictions.  The trained weights are
+    # cached on disk (gitignored) — an R50 fit on one CPU core is minutes,
+    # and both AL sides load the same exported .pth, so ANY trained state
+    # serves; only its peakedness matters (asserted below).
+    ds = build_dataset(cfg.DATASET.EVAL)
+    cache = os.path.join(os.path.dirname(__file__), ".cache",
+                         "refparity_r50_v2.npz")
+    if os.path.exists(cache):
+        flat = dict(np.load(cache))
+        variables = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(variables),
+            [flat[str(i)] for i in range(len(flat))])
+    else:
+        from vatl4pose_tpu.train import retrain as retrain_mod
+        model_t = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=True)
+        old_chunk, retrain_mod.STEP_CHUNK = retrain_mod.STEP_CHUNK, 3
+        try:
+            tr = Retrainer(model_t, {"OPTIMIZER": "AdamW", "LR": 2e-3,
+                                     "LR_GAMMA": 1.0, "BATCH_SIZE": 18,
+                                     "WEIGHT_DECAY": 0.0},
+                           "SimplePose", input_size=(256, 192),
+                           hm_size=(64, 48),
+                           aug=AugCfg(scale_factor=0.0, rot_factor=0,
+                                      flip=False),
+                           joint_pairs=ds.joint_pairs, seed=11)
+            frames = jax.device_put(ds.load_frames())
+            idx = np.arange(len(ds.data))
+            opt_state = tr.init_opt_state(variables["params"])
+            variables, _, _, _ = tr.retrain(
+                variables, opt_state, ds.data, frames, idx, 15,
+                (ds.data.width, ds.data.height))
+        finally:
+            retrain_mod.STEP_CHUNK = old_chunk
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        leaves = [np.asarray(v) for v in jax.tree.leaves(variables)]
+        np.savez(cache, **{str(i): v for i, v in enumerate(leaves)})
+
     variables = jax.tree.map(np.asarray, variables)
+
+    # loud under-training guard: argmax criteria need structured peaks,
+    # not noise (flat-noise heatmaps max out around ~1e-3)
+    from vatl4pose_tpu.ops.warp import crop_batch
+    crops, _ = crop_batch(jnp.asarray(ds.load_frames(), jnp.float32),
+                          ds.data.frame_idx[:4], ds.data.bboxes[:4],
+                          (256, 192))
+    hm = model.apply(variables, crops)
+    per_joint_peak = jnp.max(hm, axis=(0, 1, 2))  # NHWC -> per-K max
+    peak = float(jnp.min(per_joint_peak))
+    assert peak > 0.2, (
+        f"fixture model under-trained: weakest joint heatmap max {peak} "
+        f"(per-joint {np.round(np.asarray(per_joint_peak), 2)})")
     pth = os.path.join(root, "pretrained.pth")
     refbridge.export_pretrained(variables, "SimplePose", pth)
     return types.SimpleNamespace(root=root, pth=pth, variables=variables)
@@ -111,6 +181,11 @@ def _run_ours(shared, tmp_path, unc, rep, filt):
     from vatl4pose_tpu.al.active_learning import ActiveLearning
 
     cfg = _our_cfg(shared.root, shared.pth)
+    if filt == "Coreset":
+        # reference-exact f64 greedy arithmetic (the reference's
+        # fvecs_matrix is float64) — removes OUR f32 loop as a source of
+        # near-tie order swaps; residual swaps are forward-noise-bound
+        cfg.VAL.CORESET_F64 = True
     strategy = unc if rep == "None" else f"{unc}+{rep}"
     if filt != "None":
         strategy += f"_{filt}filter"
@@ -134,10 +209,28 @@ def _run_ours(shared, tmp_path, unc, rep, filt):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("unc,rep,filt", [
+    # every strategy branch the reference can actually execute
+    # (ActiveLearning.py:329-401 uncertainty, :467-484 representativeness,
+    # :533-619 filters).  Excluded with documented cause: WPU / THC+WPU
+    # (reference crashes as shipped: 42-d hybrid into a 38-d AE,
+    # ActiveLearning.py:367 vs AutoEncoder.py:12), VL4Pose (references
+    # undefined pose_features/self.conf, :390-391), THC_L2 (the reference
+    # dispatch hardcodes norm_type='L1' at :346, so its THC_L2 is
+    # indistinguishable from THC_L1; ours implements real L2 — see
+    # PARITY.md).
     ("THC_L1", "None", "None"),
     ("HP", "None", "None"),
+    ("TPC", "None", "None"),
+    ("MPE", "None", "None"),
+    ("Margin", "None", "None"),
+    ("Entropy", "None", "None"),
+    ("None", "Random", "None"),
     ("THC_L1", "Influence", "None"),
     ("THC_L1", "Influence", "Coreset"),
+    ("THC_L1", "None", "weighted"),
+    ("THC_L1", "None", "K-Means"),
+    ("THC_L1", "None", "Diversity"),
+    ("THC_L1", "None", "Random"),
 ])
 def test_query_list_parity(shared, tmp_path, unc, rep, filt):
     ref = _run_ref(shared, tmp_path, unc, rep, filt)
@@ -226,6 +319,43 @@ def test_coreset_selection_matches_reference_method():
         ref_q = al.coreset_selection(emb.copy(), unc.astype(np.float64).copy())
         our_q = coreset_selection(emb, unc, labeled, 8, 0.01, moks,
                                   mode=mode)
+        assert ref_q == our_q, (mode, ref_q, our_q)
+
+
+def test_coreset_f64_order_parity_on_near_ties():
+    """Greedy-ORDER parity on degenerate near-tie embeddings via the f64
+    host path (VAL.CORESET_F64) vs the reference's numpy greedy.
+
+    Adjacent same-track crops produce embeddings separated by ~1e-7 —
+    below f32 score resolution, where the default on-device greedy may
+    legitimately swap picks vs the reference's float64 arithmetic
+    (fvecs_matrix is np.zeros((N,2048)) → f64, ActiveLearning.py:270).
+    The f64 path replicates the reference's sklearn pairwise_distances +
+    np.argmax arithmetic exactly, so the full pick ORDER must match,
+    including tie-breaks."""
+    refbridge.install()
+    from alipy.index import IndexCollection
+    from vatl4pose_tpu.al.selection import coreset_selection
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 12))
+    # 36 samples: 4 clusters x 9 near-duplicates at 1e-7 separation
+    emb = np.repeat(base, 9, axis=0) + 1e-7 * rng.normal(size=(36, 12))
+    emb = emb.astype(np.float32)  # what the model emits on both sides
+    unc = np.repeat(rng.uniform(size=4), 9).astype(np.float32)
+    unc += 1e-7 * rng.uniform(size=36).astype(np.float32)
+    labeled = [0, 9]
+
+    for fixed, mode, moks in ((False, "dynamic", 0.42), (True, "fixed", 0.3)):
+        al = _bare_ref_al(
+            labeled_id=IndexCollection(list(labeled)),
+            moks_queried=moks, unc_lambda=0.01, uncertainty="THC_L1",
+            cfg=refbridge.EasyDict({"VAL": {"UNC_LAMBDA": 0.01}}),
+            opt=types.SimpleNamespace(fixed_lambda=fixed), query_size=12)
+        ref_q = al.coreset_selection(emb.astype(np.float64),
+                                     unc.astype(np.float64).copy())
+        our_q = coreset_selection(emb, unc, labeled, 12, 0.01, moks,
+                                  mode=mode, precision="f64")
         assert ref_q == our_q, (mode, ref_q, our_q)
 
 

@@ -564,7 +564,8 @@ class ActiveLearning:
                 mode = "dynamic"
             return coreset_selection(
                 embeddings, unc_full, self.labeled_id.index, self.query_size,
-                self.unc_lambda, self.moks_queried, mode=mode, rng=self.rng)
+                self.unc_lambda, self.moks_queried, mode=mode, rng=self.rng,
+                precision="f64" if self.cfg.VAL.get("CORESET_F64") else "f32")
         raise ValueError("Filter type is not supported")
 
     def _get_retrain_id(self, query_list, oks_dict):

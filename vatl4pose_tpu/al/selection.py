@@ -153,12 +153,60 @@ def random_filter(candidate_list: List[int], query_size: int,
     return out
 
 
+def _coreset_host_f64(embeddings: np.ndarray, uncertainty: np.ndarray,
+                      labeled_idx: Sequence[int], query_size: int,
+                      unc_lambda: float, moks_queried: float, mode: str,
+                      rng: Optional[np.random.RandomState]) -> List[int]:
+    """Reference-exact f64 greedy (ActiveLearning.py:798-850) on host.
+
+    Replicates the reference's arithmetic bit-for-bit: the reference holds
+    `fvecs_matrix = np.zeros((N, 2048))` (float64, :270) and uncertainty
+    `np.zeros(N)` (:610), computes distances through sklearn
+    `pairwise_distances` (the a²+b²−2ab expansion, :809) and takes plain
+    `np.argmax` — including its lack of a taken-mask: a picked item relies
+    on min_dist=0/unc=0 to never win again (:846 comment), so callers must
+    clamp query_size to the pickable pool (the AL engine does).
+    """
+    from sklearn.metrics import pairwise_distances
+
+    enc = np.asarray(embeddings, np.float64)
+    unc = np.asarray(uncertainty, np.float64).copy()
+    n_labeled = len(labeled_idx)
+    min_d = None
+    if n_labeled > 0:
+        d = pairwise_distances(enc, enc[np.asarray(labeled_idx, np.int64)],
+                               metric="euclidean")
+        min_d = np.min(d, axis=1).reshape(-1, 1)
+    picks: List[int] = []
+    for _ in range(int(query_size)):
+        if min_d is None:  # no labeled centers yet: first-pick rule
+            if mode == "plain":
+                r = rng or np.random.RandomState()
+                ind = int(r.choice(np.arange(enc.shape[0])))
+            else:
+                ind = int(np.argmax(unc))
+        else:
+            md = min_d.reshape(-1)
+            if mode == "dynamic":
+                ind = int(np.argmax((1.0 - moks_queried) * md
+                                    + unc_lambda * moks_queried * unc))
+            elif mode == "fixed":
+                ind = int(np.argmax(md + unc_lambda * unc))
+            else:
+                ind = int(np.argmax(md))
+        d = pairwise_distances(enc, enc[[ind]], metric="euclidean")
+        min_d = d if min_d is None else np.minimum(min_d, d)
+        unc[ind] = 0.0
+        picks.append(ind)
+    return picks
+
+
 def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
                       labeled_idx: Sequence[int], query_size: int,
                       unc_lambda: float, moks_queried: float,
                       mode: str = "dynamic",
-                      rng: Optional[np.random.RandomState] = None
-                      ) -> List[int]:
+                      rng: Optional[np.random.RandomState] = None,
+                      precision: str = "f32") -> List[int]:
     """k-center greedy with uncertainty-biased argmax (:798-850), run on
     device with a lax.fori_loop over min-distance updates.
 
@@ -168,9 +216,20 @@ def coreset_selection(embeddings: np.ndarray, uncertainty: np.ndarray,
     First pick (no labeled data): argmax(unc) (dynamic/fixed) or uniform
     random (plain).  Selected items get uncertainty zeroed (:846).
 
+    precision: 'f32' (default) runs the greedy on device in float32 —
+    near-tie picks whose score gap sits below f32 resolution may swap vs
+    the reference's float64 numpy.  'f64' runs the reference-exact host
+    path (`_coreset_host_f64`) for bitwise greedy-order parity; enable via
+    cfg VAL.CORESET_F64 when reproducing reference query orders matters
+    more than device throughput.
+
     Shapes are bucketed (rows padded with -inf scores, loop length padded
     and sliced) so the compiled program is reused across rounds/videos.
     """
+    if precision == "f64":
+        return _coreset_host_f64(embeddings, uncertainty, labeled_idx,
+                                 query_size, unc_lambda, moks_queried,
+                                 mode, rng)
     from ..data.pipeline import bucket_size
 
     n_real = int(np.asarray(embeddings).shape[0])

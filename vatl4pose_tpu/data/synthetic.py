@@ -91,7 +91,8 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
                          blob_amp: float = 140.0,
                          channel_shift: int = 0,
                          bg_level: float = 40.0,
-                         track_digits: int = 2) -> Tuple[str, str]:
+                         track_digits: int = 2,
+                         vis_prob: float = 0.9) -> Tuple[str, str]:
     """Write frames + annotation json. Returns (root_dir, ann_relpath).
 
     img_format: "npy" (fast, test default) or "png" (lossless image files a
@@ -145,7 +146,16 @@ def make_synthetic_video(out_dir: str, num_frames: int = 8,
                 img[..., (p + channel_shift) % 3] += blob_amp * np.exp(
                     -((yy - ky) ** 2 + (xx - kx) ** 2)
                     / (2 * blob_sigma ** 2))
-            vis = (rng.uniform(size=17) > 0.1).astype(np.float32)
+            # vis_prob: P(joint visible).  The uniform draw always happens
+            # so changing vis_prob never shifts the rng stream (images and
+            # geometry stay bit-identical); default 0.9 reproduces the
+            # historical `u > 0.1` behavior exactly.  vis_prob=1.0 is for
+            # decode-sensitive parity fixtures: an invisible joint's
+            # heatmap head is unsupervised on that sample, so an overfit
+            # fixture model emits a near-flat noise map there whose argmax
+            # flips between frameworks at f32 — integer-valued criteria
+            # (TPC joint-move counts) then diverge spuriously.
+            vis = (rng.uniform(size=17) > 1.0 - vis_prob).astype(np.float32)
             flat = np.stack([kps[:, 0], kps[:, 1], vis], axis=1).reshape(-1)
             x0, y0 = max(0.0, xy[0] - 5), max(0.0, xy[1] - 5)
             bw = min(w + 10, width - x0)
