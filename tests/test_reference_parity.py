@@ -115,6 +115,19 @@ def shared(tmp_path_factory):
                 (ds.data.width, ds.data.height))
         finally:
             retrain_mod.STEP_CHUNK = old_chunk
+        # settle BatchNorm running stats: the fit above takes only ~15
+        # optimizer steps (1 step/epoch at batch 18), so running stats stay
+        # near init and EVAL-mode outputs inflate 5-10x vs train-mode —
+        # refresh them with stat-only forwards (params untouched) so the
+        # exported model behaves in eval mode like the model that was fit
+        from vatl4pose_tpu.ops.warp import crop_batch as _cb
+        crops_r, _ = _cb(jnp.asarray(ds.load_frames(), jnp.float32),
+                         ds.data.frame_idx, ds.data.bboxes, (256, 192))
+        refresh = jax.jit(
+            lambda v, x: model_t.apply(v, x, mutable=["batch_stats"]))
+        for _ in range(30):
+            _, upd = refresh(variables, crops_r)
+            variables = {**variables, **upd}
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         leaves = [np.asarray(v) for v in jax.tree.leaves(variables)]
         np.savez(cache, **{str(i): v for i, v in enumerate(leaves)})
