@@ -125,8 +125,11 @@ def main():
             def body(i, acc):
                 # the carried scalar feeds the input: serializes iterations
                 fr = frames * (1 + acc * 1e-20)
-                crops, bbox_crop = crop_batch(fr, frame_idx, raw_bbox,
-                                              (256, 192))
+                # mirrors ScoringEngine._forward_chunk: single-pass MXU
+                # warp under bf16 serving, 3-pass in f32 parity mode
+                crops, bbox_crop = crop_batch(
+                    fr, frame_idx, raw_bbox, (256, 192),
+                    precision=jax.lax.Precision.DEFAULT if bf16 else None)
                 hm = model.apply(variables,
                                  crops.astype(jnp.bfloat16) if bf16
                                  else crops)

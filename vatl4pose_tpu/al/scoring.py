@@ -86,8 +86,13 @@ class ScoringEngine:
     # ---- stage 1: heatmaps + embeddings ----------------------------------
     def _forward_chunk(self, variables, frames, frame_idx, bboxes,
                        aux_variables=None):
+        # bf16 serving: single-pass MXU warp (the crops feed a bf16 model
+        # whose own input quantization is the same magnitude); parity/f32
+        # mode keeps the 3-pass default (see ops/warp.py precision note)
+        warp_prec = jax.lax.Precision.DEFAULT if self.cfg.bf16 else None
         crops, bbox_crop = crop_batch(frames.astype(jnp.float32), frame_idx,
-                                      bboxes, self.cfg.input_size)
+                                      bboxes, self.cfg.input_size,
+                                      precision=warp_prec)
         return self._model_outputs(variables, crops, aux_variables) \
             + (bbox_crop,)
 

@@ -71,7 +71,8 @@ def warp_affine_bilinear(image, inv_mat, out_size):
     return out
 
 
-def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size):
+def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size,
+                            precision=None):
     """Rotation-free batched bilinear warp as two weight-matrix matmuls.
 
     For an axis-aligned affine (inv_mat off-diagonals zero — every eval /
@@ -100,15 +101,20 @@ def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size):
     wy = hat(sy, H)                        # (N, oh, H)
     wx = hat(sx, W)                        # (N, ow, W)
     fi = jnp.asarray(frame_idx)
+    if precision is None:
+        # Each output pixel is a 2-tap convex combination per axis, so the
+        # contraction needs far less than full f32: bf16x3 (HIGH) is ~1e-5
+        # absolute on [0,255] intensities — below cv2.warpAffine's own
+        # 5-bit fixed-point coefficient quantization (~0.25) and the 1e-3
+        # gather-warp envelope the parity tests pin.  HIGHEST (6-pass f32
+        # emulation) costs 2x the MXU passes for no observable benefit
+        # (measured: exp/profile_warp_precision.py).
+        precision = jax.lax.Precision.HIGH
 
     def warp_chunk(fi_c, wx_c, wy_c):
         imgs = frames[fi_c]                # (n, H, W, C) contiguous gather
-        # HIGHEST matmul precision: pixel values up to 255 — default-bf16
-        # accumulation would quantize crops by ~0.5 intensity steps
-        tmp = jnp.einsum("now,nhwc->nhoc", wx_c, imgs,
-                         precision=jax.lax.Precision.HIGHEST)
-        return jnp.einsum("noh,nhxc->noxc", wy_c, tmp,
-                          precision=jax.lax.Precision.HIGHEST)
+        tmp = jnp.einsum("now,nhwc->nhoc", wx_c, imgs, precision=precision)
+        return jnp.einsum("noh,nhxc->noxc", wy_c, tmp, precision=precision)
 
     # cap the materialized frames[fi] buffer: at large H*W (in-HBM 1080p
     # scoring) a full (N, H, W, C) gather peaks at multiple GB.  Sub-chunk
@@ -132,7 +138,7 @@ def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size):
 
 
 def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
-               normalize: bool = True):
+               normalize: bool = True, precision=None):
     """Produce normalized person crops for a batch of boxes on-device.
 
     frames: (F, H, W, 3) float32 in [0, 255] (decoded full frames, RGB).
@@ -155,7 +161,7 @@ def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
     bbox_crop = center_scale_to_box(center, scale)
     # rot=0 by construction → the separable MXU warp applies
     crops = warp_axis_aligned_batch(frames, jnp.asarray(frame_idx), inv_mats,
-                                    (inp_h, inp_w))
+                                    (inp_h, inp_w), precision=precision)
     if normalize:
         crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
     return crops, bbox_crop
