@@ -230,9 +230,15 @@ def main():
                                 iters=4)
     detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
     detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
+    if fl_tr <= 0:
+        # same cost-analysis fallback as the score path: while-loop body
+        # flops are not always attributed by trip count
+        fl_tr = _flops(jax.jit(
+            lambda v, o, x: train_step(v, o, x)).lower(
+                variables, opt_state, xr).compile())
     if fl_tr > 0:
         detail["retrain_step_tflops"] = round(fl_tr / 1e12, 2)
-        detail["retrain_f32_mfu_vs_v5e_peak"] = round(
+        detail["retrain_mfu_vs_v5e_peak"] = round(
             fl_tr / dt_tr / V5E_BF16_PEAK_FLOPS, 3)
 
     # mixed-precision retrain (RETRAIN.BF16 / --speedup in the AL loop)
@@ -240,6 +246,10 @@ def main():
                                   variables, opt_state, xr, iters=4)
     detail["retrain_bf16_samples_per_s"] = round(RETRAIN_BATCH / dt_trb, 1)
     detail["retrain_bf16_step_ms"] = round(dt_trb * 1e3, 1)
+    if fl_trb <= 0:
+        fl_trb = _flops(jax.jit(
+            lambda v, o, x: train_step(v, o, x, True)).lower(
+                variables, opt_state, xr).compile())
     if fl_trb > 0:
         detail["retrain_bf16_mfu_vs_v5e_peak"] = round(
             fl_trb / dt_trb / V5E_BF16_PEAK_FLOPS, 3)
