@@ -11,8 +11,10 @@ Param naming is chosen so torch state_dict keys map mechanically:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import max_pool_same_torch, torch_batchnorm, SELayer
@@ -108,13 +110,77 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _ConvKernel(nn.Module):
+    """Declares an nn.Conv-shaped kernel param without computing the conv
+    (same name/shape/init, so checkpoints and the torch converter see an
+    identical tree whether the exact or fused path built the model)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        from flax.linen.linear import default_kernel_init
+        return self.param("kernel", default_kernel_init, self.shape)
+
+
+class _BNFold(nn.Module):
+    """Declares nn.BatchNorm's param/batch_stats tree and returns the
+    eval-mode fold (s, b): y = x*s + b."""
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        from ..kernels.fused_bottleneck import fold_bn
+        scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        return fold_bn(scale, bias, mean.value, var.value)
+
+
+class _FoldedBottleneck(nn.Module):
+    """The param tree of a plain Bottleneck (stride 1, no downsample /
+    SE / DCN), returned as folded serving weights for the fused chain
+    kernel instead of being computed block-by-block."""
+    in_ch: int
+    planes: int
+
+    @nn.compact
+    def __call__(self):
+        p = self.planes
+        w1 = _ConvKernel((1, 1, self.in_ch, p), name="conv1")()
+        s1, b1 = _BNFold(p, name="bn1")()
+        w2 = _ConvKernel((3, 3, p, p), name="conv2")()
+        s2, b2 = _BNFold(p, name="bn2")()
+        w3 = _ConvKernel((1, 1, p, p * 4), name="conv3")()
+        s3, b3 = _BNFold(p * 4, name="bn3")()
+        return (w1[0, 0], s1, b1, w2, s2, b2, w3[0, 0], s3, b3)
+
+
+# per-chunk VMEM cap for chain weights (bytes): chains whose folded weights
+# exceed it are split into consecutive sub-chains (one extra HBM round trip
+# of the residual stream each — cheap at the deep stages where this bites)
+_FUSE_WEIGHT_LIMIT = 7 * 2 ** 20
+
+
 class ResNet(nn.Module):
-    """Stride-32 feature extractor.  Input NHWC float32, output NHWC."""
+    """Stride-32 feature extractor.  Input NHWC float32, output NHWC.
+
+    `fused_eval=True` (serving only): every stride-1 non-downsampling
+    bottleneck runs through the fused Pallas chain kernel
+    (kernels/fused_bottleneck.py) — same param tree, same math with
+    eval-BN folded; the exact Flax graph remains the default and the
+    training path.  On CPU backends the chain falls back to the plain-XLA
+    reference implementation (pallas CPU would need interpret mode, and
+    the SPMD partitioner can't shard the custom kernel on test meshes).
+    """
     depth: int = 50
     train: bool = False
     use_se: bool = False               # SE-ResNet variant (SE_Resnet.py)
     dcn: Optional[dict] = None
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +197,14 @@ class ResNet(nn.Module):
             stride = 1 if li == 0 else 2
             stage_dcn = self.dcn if (self.dcn is not None
                                      and self.stage_with_dcn[li]) else None
+            fuse_tail = (self.fused_eval and not self.train
+                         and block_kind == "bottleneck"
+                         and stage_dcn is None and n_blocks > 1)
             for bi in range(n_blocks):
+                if fuse_tail and bi == 1:
+                    x = self._fused_tail(x, li, p, n_blocks)
+                    in_ch = p * expansion
+                    break
                 s = stride if bi == 0 else 1
                 has_ds = (bi == 0) and (s != 1 or in_ch != p * expansion)
                 name = f"layer{li + 1}_{bi}"
@@ -145,4 +218,30 @@ class ResNet(nn.Module):
                 else:
                     x = BasicBlock(p, s, has_ds, self.train, name=name)(x)
                 in_ch = p * expansion
+        return x
+
+    def _fused_tail(self, x, li, p, n_blocks):
+        """Blocks 1..n-1 of stage li+1 through the fused chain kernel."""
+        from ..kernels.fused_bottleneck import (bottleneck_chain_reference,
+                                                chain_weight_bytes,
+                                                fused_bottleneck_chain)
+        folded = [_FoldedBottleneck(p * 4, p, name=f"layer{li + 1}_{bi}")()
+                  for bi in range(1, n_blocks)]
+        itemsize = x.dtype.itemsize
+        per_block = chain_weight_bytes(1, p * 4, p, itemsize)
+        group = max(1, _FUSE_WEIGHT_LIMIT // per_block)
+        # CPU backends can't run the custom kernel (and test meshes can't
+        # shard it); stages whose single-block weights bust VMEM (layer4
+        # f32) take the same folded math through plain XLA instead.
+        run = (bottleneck_chain_reference
+               if (jax.default_backend() == "cpu"
+                   or per_block > _FUSE_WEIGHT_LIMIT)
+               else fused_bottleneck_chain)
+        for s in range(0, len(folded), group):
+            ws = folded[s:s + group]
+            stacked = [jnp.stack(col) for col in zip(*ws)]
+            # conv kernels ride in the stream dtype; folded BN stays f32
+            stacked = [w.astype(x.dtype) if i in (0, 3, 6) else w
+                       for i, w in enumerate(stacked)]
+            x = run(x, *stacked)
         return x

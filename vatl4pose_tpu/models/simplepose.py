@@ -21,9 +21,13 @@ class SimplePose(nn.Module):
     num_layers: int = 50
     deconv_dim: Sequence[int] = (256, 256, 256)
     train: bool = False
+    # serving-only: fused Pallas bottleneck chains in the backbone
+    # (kernels/fused_bottleneck.py) — identical param tree, eval-BN folded
+    fused_eval: bool = False
 
     def setup(self):
-        self.preact = ResNet(depth=self.num_layers, train=self.train)
+        self.preact = ResNet(depth=self.num_layers, train=self.train,
+                             fused_eval=self.fused_eval)
         self.deconv1 = TorchConvTranspose(self.deconv_dim[0])
         self.bn_d1 = torch_batchnorm(None, not self.train)
         self.deconv2 = TorchConvTranspose(self.deconv_dim[1])
