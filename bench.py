@@ -95,6 +95,11 @@ def main():
 
     detail = {}
     model = SimplePose(num_joints=17, num_layers=50, train=False)
+    # bf16 serving model: folded-BN stage tails (same param tree; measured
+    # 54.0 -> 51.9 ms forward @512 on v5e — exp/FUSED_BOTTLENECK.md).  The
+    # f32 parity path keeps the exact graph.
+    model_fused = SimplePose(num_joints=17, num_layers=50, train=False,
+                             fused_eval=True)
     rng = np.random.default_rng(0)
     # the WHOLE device pipeline is measured from decoded full frames:
     # crop_batch (separable MXU warp + normalize) -> forward -> decode ->
@@ -131,9 +136,9 @@ def main():
                 crops, bbox_crop = crop_batch(
                     fr, frame_idx, raw_bbox, (256, 192),
                     precision=jax.lax.Precision.DEFAULT if bf16 else None)
-                hm = model.apply(variables,
-                                 crops.astype(jnp.bfloat16) if bf16
-                                 else crops)
+                hm = (model_fused if bf16 else model).apply(
+                    variables,
+                    crops.astype(jnp.bfloat16) if bf16 else crops)
                 hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
                 coords, scores = heatmap_to_coord(hm, bbox_crop)
                 kpts = jnp.concatenate([coords, scores[..., None]],
@@ -162,7 +167,7 @@ def main():
         def one_step(variables, frames):
             crops, bbox_crop = crop_batch(frames, frame_idx, raw_bbox,
                                           (256, 192))
-            hm = model.apply(variables, crops.astype(jnp.bfloat16))
+            hm = model_fused.apply(variables, crops.astype(jnp.bfloat16))
             hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
             coords, scores = heatmap_to_coord(hm, bbox_crop)
             kpts = jnp.concatenate([coords, scores[..., None]],

@@ -118,7 +118,13 @@ class ActiveLearning:
         self.moksQ_list: List[float] = []
 
         # ---- model ----------------------------------------------------------
-        self.model_eval = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=False)
+        # --speedup serving routes ResNet-bottleneck stage tails through the
+        # folded-BN chain (models/resnet.py fused_eval — measured +4%
+        # forward on v5e, exp/FUSED_BOTTLENECK.md).  Parity/f32 mode keeps
+        # the exact graph: the fold reassociates BN arithmetic (~1e-6 rel).
+        self.model_eval = build_sppe(
+            cfg.MODEL, cfg.DATA_PRESET, train=False,
+            fused_eval=bool(getattr(opt, "speedup", False)))
         self.model_train = build_sppe(cfg.MODEL, cfg.DATA_PRESET, train=True)
         self.pretrained_vars = self._load_pretrained()
         self.variables = jax.tree.map(jnp.asarray, self.pretrained_vars)

@@ -19,16 +19,24 @@ SPPE.register_module(FastPose)
 SPPE.register_module(PoseHighResolutionNet)
 
 
-def build_sppe(model_cfg, preset_cfg, train: bool = False):
-    """Construct a pose estimator Flax module from a reference-style config."""
+def build_sppe(model_cfg, preset_cfg, train: bool = False,
+               fused_eval: bool = False):
+    """Construct a pose estimator Flax module from a reference-style config.
+
+    fused_eval (serving only, ResNet-bottleneck backbones): route stage
+    tails through the folded-BN chain (models/resnet.py) — same param
+    tree, measured +4% forward on v5e (exp/FUSED_BOTTLENECK.md); ignored
+    for HRNet and when train=True.
+    """
     t = model_cfg["TYPE"]
     nj = preset_cfg["NUM_JOINTS"]
+    fused_eval = fused_eval and not train
     if t == "SimplePose":
         return SimplePose(num_joints=nj,
                           num_layers=model_cfg.get("NUM_LAYERS", 50),
                           deconv_dim=tuple(model_cfg.get(
                               "NUM_DECONV_FILTERS", (256, 256, 256))),
-                          train=train)
+                          train=train, fused_eval=fused_eval)
     if t == "FastPose":
         return FastPose(num_joints=nj,
                         num_layers=model_cfg.get("NUM_LAYERS", 50),
@@ -36,7 +44,7 @@ def build_sppe(model_cfg, preset_cfg, train: bool = False):
                         dcn=dict(model_cfg["DCN"]) if "DCN" in model_cfg else None,
                         stage_with_dcn=tuple(model_cfg.get(
                             "STAGE_WITH_DCN", (False,) * 4)),
-                        train=train)
+                        train=train, fused_eval=fused_eval)
     if t == "PoseHighResolutionNet":
         stages = {k: dict(model_cfg[k]) for k in ("STAGE2", "STAGE3", "STAGE4")
                   if k in model_cfg} or None

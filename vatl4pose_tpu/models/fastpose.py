@@ -23,11 +23,15 @@ class FastPose(nn.Module):
     train: bool = False
     dcn: Optional[dict] = None
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    # serving-only folded-BN stage tails (SE applies only to each stage's
+    # downsampling block, so the fused tails are plain bottlenecks here too)
+    fused_eval: bool = False
 
     def setup(self):
         self.preact = ResNet(depth=self.num_layers, train=self.train,
                              use_se=True, dcn=self.dcn,
-                             stage_with_dcn=tuple(self.stage_with_dcn))
+                             stage_with_dcn=tuple(self.stage_with_dcn),
+                             fused_eval=self.fused_eval)
         self.duc1 = DUC(1024, 2, self.train)
         duc2_planes = 1024 if self.conv_dim == 256 else 512
         self.duc2 = DUC(duc2_planes, 2, self.train)

@@ -163,6 +163,12 @@ class _FoldedBottleneck(nn.Module):
 # of the residual stream each — cheap at the deep stages where this bites)
 _FUSE_WEIGHT_LIMIT = 7 * 2 ** 20
 
+# chain implementation: "xla" = folded-BN math through plain XLA (measured
+# faster than the Pallas chain end-to-end on v5e — the early stages' P=64/128
+# channel matmuls underfill the 128x128 MXU, exp/FUSED_BOTTLENECK.md);
+# "pallas" = the VMEM-resident chain kernel (kept for A-Bs and future shapes)
+FUSE_IMPL = "xla"
+
 
 class ResNet(nn.Module):
     """Stride-32 feature extractor.  Input NHWC float32, output NHWC.
@@ -232,9 +238,11 @@ class ResNet(nn.Module):
         group = max(1, _FUSE_WEIGHT_LIMIT // per_block)
         # CPU backends can't run the custom kernel (and test meshes can't
         # shard it); stages whose single-block weights bust VMEM (layer4
-        # f32) take the same folded math through plain XLA instead.
+        # f32) take the same folded math through plain XLA — as does the
+        # default FUSE_IMPL="xla" (see the switch above).
         run = (bottleneck_chain_reference
-               if (jax.default_backend() == "cpu"
+               if (FUSE_IMPL != "pallas"
+                   or jax.default_backend() == "cpu"
                    or per_block > _FUSE_WEIGHT_LIMIT)
                else fused_bottleneck_chain)
         for s in range(0, len(folded), group):

@@ -77,7 +77,12 @@ class Retrainer:
         # Under a DP mesh the XLA SPMD partitioner cannot partition the
         # custom pallas rotation kernel over the sharded batch axis — use
         # the gather warp there (CPU test meshes hit this path anyway).
-        self.rot_kernel = jax.default_backend() != "cpu" and mesh is None
+        # The kernel also requires even crop sizes (its canvas extraction
+        # slices at integer offsets — kernels/rot_warp.py assert); every
+        # reference preset is even, odd sizes take the gather warp.
+        self.rot_kernel = (jax.default_backend() != "cpu" and mesh is None
+                           and self.input_size[0] % 2 == 0
+                           and self.input_size[1] % 2 == 0)
         self.mesh = mesh
         self._step = jax.jit(self._train_step)
         self._step_crops = jax.jit(self._train_step_crops)
