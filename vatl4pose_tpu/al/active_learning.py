@@ -206,6 +206,7 @@ class ActiveLearning:
             # compile spike; no-op chunk, throwaway rng)
             self.retrainer.prewarm(self.variables, self.opt_state,
                                    self.data, self.frames_dev, self.img_wh)
+        self._prewarm_selection()
         if getattr(opt, "verbose", False):
             # dataset smoke info (test_dataset, ActiveLearning.py:688-691)
             assert self.eval_len >= 1
@@ -573,6 +574,45 @@ class ActiveLearning:
                 self.unc_lambda, self.moks_queried, mode=mode, rng=self.rng,
                 precision="f64" if self.cfg.VAL.get("CORESET_F64") else "f32")
         raise ValueError("Filter type is not supported")
+
+    def _prewarm_selection(self):
+        """Compile the on-device coreset greedy in the background while
+        round 0 scores (the ~1 s first-call compile otherwise lands in the
+        round-1 select phase; same pattern as Retrainer.prewarm).  The
+        program is keyed by (bucketed N, bucketed query size, mode), all
+        known up front; embeddings dim comes from a trace-only eval_shape.
+        No-op for the f64 host path (pure numpy, nothing to compile)."""
+        if self.filter != "Coreset" or self.cfg.VAL.get("CORESET_F64"):
+            return None
+        import threading
+
+        def go():
+            try:
+                import jax as _jax
+                h, w = self.cfg.DATA_PRESET.IMAGE_SIZE
+                eshape = _jax.eval_shape(
+                    lambda v, x: self.model_eval.apply(
+                        v, x, return_embedding=True),
+                    self.variables, jnp.zeros((1, h, w, 3), jnp.float32))
+                dim = int(eshape[1].shape[-1])
+                if self.uncertainty == "None" or self.cfg.VAL.UNC_LAMBDA == 0:
+                    mode = "plain"
+                elif getattr(self.opt, "fixed_lambda", False):
+                    mode = "fixed"
+                else:
+                    mode = "dynamic"
+                emb = np.zeros((self.eval_len, dim), np.float32)
+                unc = np.ones(self.eval_len, np.float32)
+                coreset_selection(emb, unc, list(range(2)),
+                                  min(self.query_size, self.eval_len),
+                                  self.unc_lambda, 0.5, mode=mode,
+                                  rng=np.random.RandomState(0))
+            except Exception:   # never take down the AL loop from a warmup
+                pass
+
+        t = threading.Thread(target=go, daemon=True, name="coreset-prewarm")
+        t.start()
+        return t
 
     def _get_retrain_id(self, query_list, oks_dict):
         """AIFT retrain policy (ActiveLearning.py:852-871)."""
