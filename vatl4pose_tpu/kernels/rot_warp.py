@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.warp import warp_axis_aligned_batch
 
-__all__ = ["warp_rotated_batch", "decompose_inv_mats", "CANVAS"]
+__all__ = ["warp_rotated_batch", "decompose_inv_mats", "CANVAS",
+           "decompose_rotation", "warp_rotated_traced2", "plan_v2"]
 
 CANVAS = 640            # square canvas (multiple of 128): fits the rotated
                         # 256x192 footprint + worst-case shear excursions
@@ -225,17 +226,316 @@ def warp_rotated_traced(frames, frame_idx, pre_mats, phi, out_size,
 
 
 def warp_rotated_batch(frames, frame_idx, inv_mats, out_size,
-                       canvas: int = CANVAS, interpret: bool = False):
+                       canvas: int = None, interpret: bool = False):
     """General train-aug warp: (N, oh, ow, C) float32 crops.
 
     frames: (F, H, W, C) f32; inv_mats: (N, 2, 3) dst->src with isotropic
-    scale (+optional flip) and any rotation |theta| <= ~85 deg.
+    scale (+optional flip) and ANY rotation.  Dispatches to the v2
+    angle-reduced pipeline (the retrain hot path); `canvas` overrides the
+    auto-sized v2 canvas when given.
     """
-    pre, phi, iso_err = decompose_inv_mats(np.asarray(inv_mats), out_size,
-                                           canvas)
+    mats2, phi2, iso_err = decompose_rotation(np.asarray(inv_mats), out_size,
+                                              canvas)
     if iso_err > 1e-3:
         raise ValueError(f"anisotropic affine (err {iso_err:.2g}) — use the "
                          "gather warp")
-    return warp_rotated_traced(frames, frame_idx, jnp.asarray(pre),
-                               jnp.asarray(phi), out_size, canvas,
-                               interpret=interpret)
+    return warp_rotated_traced2(frames, frame_idx, jnp.asarray(mats2),
+                                jnp.asarray(phi2), out_size, canvas,
+                                interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# v2: angle-reduced, window-restricted 3-shear rotation
+# ---------------------------------------------------------------------------
+# The v1 pipeline above rotates a fixed 640^2 canvas with an 11-candidate
+# roll/select chain per 8-row tile sized for |theta| <= 85 deg.  Profiling
+# (exp/profile_shear_variants.py) showed the chain's static pltpu.rolls are
+# VPU-issue-bound: pass cost scales with (tiles x lanes x candidates), so v2
+# attacks all three factors:
+#   * 90-degree angle reduction: R(phi) = R(rho) . R(phi') with rho a
+#     multiple of 90 deg and |phi'| <= 45 deg.  R(rho) folds into the
+#     separable MXU pre-warp for free (a quarter-turn of an axis-aligned
+#     warp is an axis-aligned warp of the TRANSPOSED frame), so the shear
+#     slopes drop from tan(42.5)=0.92 to tan(22.5)=0.414 -> 6/8/6
+#     candidates instead of 11/11/11, and any rotation angle is now legal
+#     (v1 capped at ~85 deg).
+#   * auto-sized canvas (512 for 256x192 crops, vs 640) from the exact
+#     worst-case +-45 deg shear excursion extents.
+#   * per-pass output windows: pass 2 only computes the x-band pass 3
+#     reads, pass 3 only the crop rows; the candidate chains run on
+#     statically sliced lane windows with wrap margins >= MAXD.
+#   * rot==0 samples (40% of train batches: simple_transform.py:212-217
+#     rotates with p=0.6) skip the chains entirely via a per-sample
+#     pl.when copy path — bit-identical (zero shifts select base anyway).
+# Measured on v5e at batch 120 (exp/profile_rot_warp.py, realistic
+# reference-style rot sampling): v1 89.3 ms -> v2 25.9 ms per retrain
+# step (3.4x), the dominant term of BENCH retrain_wall_16steps_s.
+
+_T22 = float(np.tan(np.pi / 8))     # max |shear slope|, passes 1/3
+_S45 = float(np.sin(np.pi / 4))     # max |shear slope|, pass 2
+_MAXD1 = 5                          # ceil(8*_T22)+1 candidates-1, passes 1/3
+_MAXD2 = 7                          # ceil(8*_S45)+1, pass 2
+_MARGIN = 32                        # window wrap margin (>= MAXD+1, 8-mult)
+
+
+def plan_v2(out_size, canvas: int = None):
+    """Static v2 geometry for one crop size: canvas + per-pass windows.
+
+    Returns a dict of python ints; every range is 8-row aligned.  Extents
+    are the exact worst-case dst->src excursions at |phi'| = 45 deg:
+      pass3 reads x within ow/2 + tan(22.5)*oh/2 of center,
+      pass2 reads y within oh/2 + sin(45)*ex3,
+      pass1 reads x within ex3 + tan(22.5)*ey2.
+    """
+    oh, ow = int(out_size[0]), int(out_size[1])
+    if oh % 16 or ow % 8:
+        # oh%16 keeps crop_ylo (= S/2 - oh/2) on an 8-row tile boundary
+        raise ValueError(f"v2 warp needs 16/8-aligned crop sizes, "
+                         f"got {oh}x{ow}")
+    ex3 = ow / 2 + _T22 * oh / 2 + 2
+    ey2 = oh / 2 + _S45 * ex3 + 2
+    ex1 = ex3 + _T22 * ey2 + 2
+    S = canvas or int(-(-2 * max(ex1, ey2) // 128) * 128)
+    if 2 * max(ex1, ey2) > S:
+        raise ValueError(f"canvas {S} too small for {oh}x{ow}")
+    crop_ylo = (S - oh) // 2
+    crop_xlo = (S - ow) // 2
+
+    # Mosaic's tpu.dynamic_rotate needs 128-aligned lane dims, so every
+    # window a chain operates on is a centered 128-multiple (8-aligned lo).
+    def window(need):
+        w = min(S, int(-(-need // 128) * 128))
+        lo = (S - w) // 2 // 8 * 8
+        return lo, lo + w
+
+    x2lo, x2hi = window(2 * (ex3 + _MARGIN / 4))   # pass2 rows / pass3 lanes
+    y2lo, y2hi = window(oh + 2 * (_MAXD2 + 1))     # pass2 lanes / pass3 rows
+    return dict(S=S, crop_ylo=crop_ylo, crop_xlo=crop_xlo,
+                x2lo=x2lo, x2hi=x2hi, y2lo=y2lo, y2hi=y2hi, oh=oh, ow=ow)
+
+
+def decompose_rotation(inv_mats, out_size, canvas: int = None):
+    """v2 host-side split of dst->src affines into (mats2, phi2).
+
+    mats2: (N, 2, 2, 3) — axis-aligned pre-warp affines for [frames,
+    framesT]; exactly one of the two rows is live per sample (the other's
+    offsets are -1e9, which zeroes its hat weights in
+    warp_axis_aligned_batch, so summing the two warped canvases acts as a
+    per-sample select at no select cost).  phi2: (N,) residual canvas
+    rotation, |phi2| <= pi/4 after 90-degree reduction.
+
+    Same M = R(theta) . diag(sx, sy) factorization + flip conjugation as
+    `decompose_inv_mats`; additionally R(phi) = R(rho) . R(phi2) with
+    rho = 90*round(phi/90), and B = diag(sx,sy) . R(rho) — diagonal for
+    even quarter-turns (frames path), anti-diagonal for odd ones
+    (framesT path: a quarter-turned axis-aligned warp is an axis-aligned
+    warp of the transposed frame).
+    """
+    p = plan_v2(out_size, canvas)
+    S = p["S"]
+    inv_mats = np.asarray(inv_mats, np.float64)
+    m = inv_mats[:, :, :2]
+    t = inv_mats[:, :, 2]
+    a = np.hypot(m[:, 0, 0], m[:, 1, 0])
+    c = np.hypot(m[:, 0, 1], m[:, 1, 1])
+    det = m[:, 0, 0] * m[:, 1, 1] - m[:, 0, 1] * m[:, 1, 0]
+    flip = det < 0
+    theta = np.arctan2(m[:, 1, 0], m[:, 0, 0])
+    theta = np.where(flip, np.arctan2(-m[:, 1, 0], -m[:, 0, 0]), theta)
+    sx = np.where(flip, -a, a)
+    sy = c
+    # diag(sx,sy) R(phi) == R(theta) diag(sx,sy) for phi = sign(sx)*theta
+    phi = np.where(sx < 0, -theta, theta)
+    k4 = np.round(phi / (np.pi / 2)).astype(np.int64)
+    phi2 = phi - k4 * (np.pi / 2)
+    # snap exact zeros (rot==0 samples produce phi==0 bit-exactly; keep
+    # them exactly 0 so the kernel's identity fast path triggers)
+    ctr = (S - 1) / 2.0
+    oh, ow = p["oh"], p["ow"]
+    xc = np.array([(ow - 1) / 2.0, (oh - 1) / 2.0])
+    q = m @ xc + t                                  # (N, 2) src @ crop center
+    # B = diag(sx, sy) @ R(rho): canvas0[v] = frame[B (v - ctr) + q]
+    cr = np.cos(k4 * (np.pi / 2))                   # exact +-1/0
+    sr = np.sin(k4 * (np.pi / 2))
+    b00 = sx * cr
+    b01 = sx * -sr
+    b10 = sy * sr
+    b11 = sy * cr
+    n = len(inv_mats)
+    odd = (k4 % 2) != 0
+    mats2 = np.full((n, 2, 2, 3), 0.0, np.float32)
+    big = -1e9
+    # frames path (even quarter-turns): src_x = b00*(vx-ctr)+qx,
+    # src_y = b11*(vy-ctr)+qy
+    mats2[:, 0, 0, 0] = np.where(odd, 0.0, b00)
+    mats2[:, 0, 0, 2] = np.where(odd, big, q[:, 0] - b00 * ctr)
+    mats2[:, 0, 1, 1] = np.where(odd, 0.0, b11)
+    mats2[:, 0, 1, 2] = np.where(odd, big, q[:, 1] - b11 * ctr)
+    # framesT path (odd quarter-turns): src_x = b01*(vy-ctr)+qx varies
+    # along canvas ROWS -> framesT row weights; src_y = b10*(vx-ctr)+qy
+    # along canvas COLS -> framesT col weights (framesT[w, h] = frame[h, w])
+    mats2[:, 1, 1, 1] = np.where(odd, b01, 0.0)
+    mats2[:, 1, 1, 2] = np.where(odd, q[:, 0] - b01 * ctr, big)
+    mats2[:, 1, 0, 0] = np.where(odd, b10, 0.0)
+    mats2[:, 1, 0, 2] = np.where(odd, q[:, 1] - b10 * ctr, big)
+    iso_err = np.abs(a - c) / np.maximum(a, 1e-6)
+    return mats2, phi2.astype(np.float32), float(iso_err.max())
+
+
+def _make_shear_kernel_v2(S_in, S_out, d_lane, maxd, n_tiles, in_row_off,
+                          out_abs_base, in_abs_lo, in_abs_hi):
+    """Windowed shear-pass kernel: per-row fractional x-shift of one
+    channel with a rot==0 fast path.
+
+    S_in/S_out: input/output lane counts (output = a static window of the
+    input's lane range, offset d_lane).  out_abs_base/in_abs_lo/in_abs_hi:
+    ABSOLUTE canvas coordinates for border-0 validity.  in_row_off: row
+    offset of the output window inside the input block.
+    """
+    def kernel(zf_ref, shift_ref, img_ref, out_ref):
+        zflag = zf_ref[pl.program_id(0)]
+
+        @pl.when(zflag != 0)
+        def _identity():
+            def cbody(i, _):
+                r = pl.multiple_of(i * _TILE, _TILE)
+                out_ref[0, 0, pl.ds(r, _TILE), :] = \
+                    img_ref[0, 0, pl.ds(in_row_off + r, _TILE),
+                            d_lane:d_lane + S_out]
+                return 0
+            jax.lax.fori_loop(0, n_tiles, cbody, 0)
+
+        @pl.when(zflag == 0)
+        def _shear():
+            def body(i, _):
+                r = pl.multiple_of(i * _TILE, _TILE)
+                t = shift_ref[0, pl.ds(r, _TILE), 0]
+                k = jnp.floor(t)
+                f = (t - k).astype(jnp.float32)
+                ki = k.astype(jnp.int32)
+                k0 = jnp.min(ki)
+                d = ki - k0
+                tile = img_ref[0, 0, pl.ds(in_row_off + r, _TILE), :]
+                # one dynamic roll folds the window offset + k0; the
+                # candidate chain then runs on the narrow window only
+                base = pltpu.roll(tile, jnp.remainder(-(k0 + d_lane), S_in),
+                                  axis=1)[:, :S_out]
+                xl = jax.lax.broadcasted_iota(jnp.int32, (_TILE, S_out), 1)
+                src0 = xl + ki[:, None] + out_abs_base
+                valid0 = (src0 >= in_abs_lo) & (src0 < in_abs_hi)
+                valid1 = (src0 + 1 >= in_abs_lo) & (src0 + 1 < in_abs_hi)
+                r0 = jnp.zeros_like(base)
+                r1 = jnp.zeros_like(base)
+                cand = base
+                for dd in range(maxd + 1):
+                    sel0 = (d == dd)[:, None]
+                    sel1 = (d + 1 == dd)[:, None]
+                    r0 = jnp.where(sel0, cand, r0)
+                    r1 = jnp.where(sel1, cand, r1)
+                    if dd < maxd:
+                        cand = pltpu.roll(cand, S_out - 1, axis=1)
+                r0 = jnp.where(valid0, r0, 0.0)
+                r1 = jnp.where(valid1, r1, 0.0)
+                out = (1.0 - f)[:, None] * r0 + f[:, None] * r1
+                out_ref[0, 0, pl.ds(r, _TILE), :] = out
+                return 0
+            jax.lax.fori_loop(0, n_tiles, body, 0)
+
+    return kernel
+
+
+def _shear_pass_v2(canvas, shifts, zflag, *, S_out, d_lane, maxd, in_row_off,
+                   out_abs_base, in_abs_lo, in_abs_hi, interpret=False):
+    """canvas: (N, C, R_in, S_in); shifts: (N, n_out_rows) per-OUT-row
+    x-offsets; zflag: (N,) int32 rot==0 flags.  The output is the
+    static lane window [d_lane, d_lane + S_out) of the input lane range,
+    restricted to rows [in_row_off, in_row_off + n_out_rows).
+    Returns (N, C, n_out_rows, S_out)."""
+    N, C, R_in, S_in = canvas.shape
+    n_rows = shifts.shape[1]
+    assert n_rows % _TILE == 0 and in_row_off % _TILE == 0
+    assert in_row_off + n_rows <= R_in and d_lane + S_out <= S_in
+    kernel = _make_shear_kernel_v2(S_in, S_out, d_lane, maxd,
+                                   n_rows // _TILE, in_row_off,
+                                   out_abs_base, in_abs_lo, in_abs_hi)
+    shifts = shifts[:, :, None]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, C, n_rows, S_out), canvas.dtype),
+        grid=(N, C),
+        in_specs=[
+            # whole flag vector in SMEM; the kernel indexes program_id(0)
+            # ((1,1) blocks violate the (8,128) tiling rule on real TPUs)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_rows, 1), lambda n, ch: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R_in, S_in), lambda n, ch: (n, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_rows, S_out),
+                               lambda n, ch: (n, ch, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(zflag, shifts, canvas)
+
+
+def _rotation_shifts_v2(phi2, S, rows1, rows2, rows3):
+    """Per-pass shift tables for the 3-shear rotation of phi2 about the
+    canvas center, each restricted to that pass's OUTPUT row range
+    (rows* = (lo, n) absolute).  Same dst->src convention as
+    `_rotation_shifts`."""
+    ctr = (S - 1) / 2.0
+    ph = -phi2                                        # dst->src sampling
+    t_half = jnp.tan(ph / 2.0)[:, None]
+    s_sin = jnp.sin(ph)[:, None]
+
+    def rows(lo, n):
+        return (jnp.arange(n, dtype=jnp.float32) + lo) - ctr
+
+    sh1 = t_half * rows(*rows1)[None, :]
+    sh2 = -s_sin * rows(*rows2)[None, :]
+    sh3 = t_half * rows(*rows3)[None, :]
+    return sh1, sh2, sh3
+
+
+def warp_rotated_traced2(frames, frame_idx, mats2, phi2, out_size,
+                         canvas: int = None, interpret: bool = False):
+    """Jit-traceable v2 body: mats2/phi2 from `decompose_rotation` (host).
+
+    frames: (F, H, W, C) f32; returns (N, oh, ow, C) f32 crops.  See the
+    v2 header comment for the design; reference semantics being matched:
+    cv2.warpAffine(INTER_LINEAR, BORDER_CONSTANT 0) per
+    simple_transform.py:228-249.
+    """
+    p = plan_v2(out_size, canvas)
+    S, oh, ow = p["S"], p["oh"], p["ow"]
+    fi = jnp.asarray(frame_idx)
+    # pre-stage: both frame orientations through the separable MXU warp;
+    # per-sample the dead path has all-zero hat weights, so + is a select
+    framesT = jnp.swapaxes(frames, 1, 2)
+    c0 = (warp_axis_aligned_batch(frames, fi, mats2[:, 0], (S, S))
+          + warp_axis_aligned_batch(framesT, fi, mats2[:, 1], (S, S)))
+    c0 = jnp.transpose(c0, (0, 3, 1, 2))               # (N, C, S, S)
+    x2lo, w2 = p["x2lo"], p["x2hi"] - p["x2lo"]
+    y2lo, h2 = p["y2lo"], p["y2hi"] - p["y2lo"]
+    sh1, sh2, sh3 = _rotation_shifts_v2(
+        phi2, S, (0, S), (x2lo, w2), (p["crop_ylo"], oh))
+    zf = (phi2 == 0).astype(jnp.int32)
+    # pass 1: x-shear, full canvas (pass 2's y-sources span everything)
+    c1 = _shear_pass_v2(c0, sh1, zf, S_out=S, d_lane=0, maxd=_MAXD1,
+                        in_row_off=0, out_abs_base=0, in_abs_lo=0,
+                        in_abs_hi=S, interpret=interpret)
+    c1t = jnp.swapaxes(c1, 2, 3)                       # rows = x
+    # pass 2: y-shear on the x-band pass 3 reads, lane window Y2
+    c2t = _shear_pass_v2(c1t, sh2, zf, S_out=h2, d_lane=y2lo, maxd=_MAXD2,
+                         in_row_off=x2lo, out_abs_base=y2lo,
+                         in_abs_lo=0, in_abs_hi=S, interpret=interpret)
+    c2 = jnp.swapaxes(c2t, 2, 3)                       # rows = y in Y2
+    # pass 3: x-shear on the crop rows only, lanes stay in X2
+    c3 = _shear_pass_v2(c2, sh3, zf, S_out=w2, d_lane=0, maxd=_MAXD1,
+                        in_row_off=p["crop_ylo"] - y2lo, out_abs_base=x2lo,
+                        in_abs_lo=x2lo, in_abs_hi=x2lo + w2,
+                        interpret=interpret)
+    x0 = p["crop_xlo"] - x2lo
+    crops = c3[:, :, :, x0:x0 + ow]
+    return jnp.transpose(crops, (0, 2, 3, 1))          # (N, oh, ow, C)

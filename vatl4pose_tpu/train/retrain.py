@@ -77,12 +77,12 @@ class Retrainer:
         # Under a DP mesh the XLA SPMD partitioner cannot partition the
         # custom pallas rotation kernel over the sharded batch axis — use
         # the gather warp there (CPU test meshes hit this path anyway).
-        # The kernel also requires even crop sizes (its canvas extraction
-        # slices at integer offsets — kernels/rot_warp.py assert); every
-        # reference preset is even, odd sizes take the gather warp.
+        # The kernel also requires 8-aligned crop sizes (its windowed
+        # passes tile rows by 8 — kernels/rot_warp.plan_v2); every
+        # reference preset qualifies, other sizes take the gather warp.
         self.rot_kernel = (jax.default_backend() != "cpu" and mesh is None
-                           and self.input_size[0] % 2 == 0
-                           and self.input_size[1] % 2 == 0)
+                           and self.input_size[0] % 8 == 0
+                           and self.input_size[1] % 8 == 0)
         self.mesh = mesh
         self._step = jax.jit(self._train_step)
         self._step_crops = jax.jit(self._train_step_crops)
@@ -119,11 +119,11 @@ class Retrainer:
         if not self.rot_kernel:
             return np.asarray(inv_mats, np.float32), np.zeros(
                 len(inv_mats), np.float32)
-        from ..kernels.rot_warp import decompose_inv_mats
-        pre, phi, iso_err = decompose_inv_mats(inv_mats, self.input_size)
+        from ..kernels.rot_warp import decompose_rotation
+        mats2, phi2, iso_err = decompose_rotation(inv_mats, self.input_size)
         if iso_err > 1e-3:   # aspect-corrected boxes are always isotropic
             raise ValueError(f"anisotropic train affine (err {iso_err:.2g})")
-        return pre, phi
+        return mats2, phi2
 
     def _train_step(self, variables, opt_state, frames, frame_idx, mats,
                     phi, joints, vis, valid, lr):
@@ -132,10 +132,10 @@ class Retrainer:
         inp_h, inp_w = self.input_size
 
         if self.rot_kernel:
-            from ..kernels.rot_warp import warp_rotated_traced
-            crops = warp_rotated_traced(frames.astype(jnp.float32),
-                                        frame_idx, mats, phi,
-                                        (inp_h, inp_w))
+            from ..kernels.rot_warp import warp_rotated_traced2
+            crops = warp_rotated_traced2(frames.astype(jnp.float32),
+                                         frame_idx, mats, phi,
+                                         (inp_h, inp_w))
             crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
         else:
             def crop_one(fi, m):
