@@ -177,6 +177,75 @@ def main():
             return lax.fori_loop(0, K, body, jnp.float32(0))
         return loop
 
+    def make_v2pre(K):   # v2 pre-stage: two hat-weight warps + sum
+        p = rot_warp.plan_v2((256, 192))
+        S = p["S"]
+
+        @jax.jit
+        def loop(frames):
+            def body(i, acc):
+                fr = frames * (1 + acc * 1e-20)
+                frT = jnp.swapaxes(fr, 1, 2)
+                from vatl4pose_tpu.ops.warp import warp_axis_aligned_batch
+                c0 = (warp_axis_aligned_batch(fr, fi, m2_j[:, 0], (S, S))
+                      + warp_axis_aligned_batch(frT, fi, m2_j[:, 1], (S, S)))
+                c0 = jnp.transpose(c0, (0, 3, 1, 2))
+                return acc + jnp.sum(c0[0, 0, 0, :2])
+            return lax.fori_loop(0, K, body, jnp.float32(0))
+        return loop
+
+    pv2 = rot_warp.plan_v2((256, 192))
+    c0v2 = jnp.asarray(
+        rng.uniform(0, 255, (BATCH, 3, pv2["S"], pv2["S"])), jnp.float32)
+
+    def make_v2shears(K):  # v2 shear passes alone (canvas resident)
+        p = pv2
+        S = p["S"]
+
+        @jax.jit
+        def loop(c0_in):
+            def body(i, acc):
+                c0 = c0_in * (1 + acc * 1e-20)
+                x2lo, w2 = p["x2lo"], p["x2hi"] - p["x2lo"]
+                y2lo, h2 = p["y2lo"], p["y2hi"] - p["y2lo"]
+                sh1, sh2, sh3 = rot_warp._rotation_shifts_v2(
+                    p2_j, S, (0, S), (x2lo, w2), (p["crop_ylo"], 256))
+                zfl = (p2_j == 0).astype(jnp.int32)
+                c1 = rot_warp._shear_pass_v2(
+                    c0, sh1, zfl, S_out=S, d_lane=0, maxd=rot_warp._MAXD1,
+                    in_row_off=0, out_abs_base=0, in_abs_lo=0, in_abs_hi=S)
+                c1t = jnp.swapaxes(c1, 2, 3)
+                c2t = rot_warp._shear_pass_v2(
+                    c1t, sh2, zfl, S_out=h2, d_lane=y2lo,
+                    maxd=rot_warp._MAXD2, in_row_off=x2lo,
+                    out_abs_base=y2lo, in_abs_lo=0, in_abs_hi=S)
+                c2 = jnp.swapaxes(c2t, 2, 3)
+                c3 = rot_warp._shear_pass_v2(
+                    c2, sh3, zfl, S_out=w2, d_lane=0, maxd=rot_warp._MAXD1,
+                    in_row_off=p["crop_ylo"] - y2lo, out_abs_base=x2lo,
+                    in_abs_lo=x2lo, in_abs_hi=x2lo + w2)
+                return acc + jnp.sum(c3[0, 0, 0, :2])
+            return lax.fori_loop(0, K, body, jnp.float32(0))
+        return loop
+
+    def make_v2p1(K):  # pass 1 alone
+        p = pv2
+        S = p["S"]
+
+        @jax.jit
+        def loop(c0_in):
+            def body(i, acc):
+                c0 = c0_in * (1 + acc * 1e-20)
+                sh1, _, _ = rot_warp._rotation_shifts_v2(
+                    p2_j, S, (0, S), (0, 8), (0, 8))
+                zfl = (p2_j == 0).astype(jnp.int32)
+                c1 = rot_warp._shear_pass_v2(
+                    c0, sh1, zfl, S_out=S, d_lane=0, maxd=rot_warp._MAXD1,
+                    in_row_off=0, out_abs_base=0, in_abs_lo=0, in_abs_hi=S)
+                return acc + jnp.sum(c1[0, 0, 0, :2])
+            return lax.fori_loop(0, K, body, jnp.float32(0))
+        return loop
+
     def make_v1_ref(K):  # v1 on the same realistic affines
         @jax.jit
         def loop(frames):
@@ -196,6 +265,9 @@ def main():
               "full_aa": (make_full_aa, frames),
               "v2": (make_v2, frames),
               "v2_allrot": (make_v2_allrot, frames),
+              "v2pre": (make_v2pre, frames),
+              "v2shears": (make_v2shears, c0v2),
+              "v2p1": (make_v2p1, c0v2),
               "v1_ref": (make_v1_ref, frames)}
     for name in which:
         mk, arg = makers[name]

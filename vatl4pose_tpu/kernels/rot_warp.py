@@ -301,6 +301,13 @@ def plan_v2(out_size, canvas: int = None):
     crop_ylo = (S - oh) // 2
     crop_xlo = (S - ow) // 2
 
+    ctr = (S - 1) / 2.0
+    # X2: the x-band pass 3 actually reads (8-aligned); pass 2 computes
+    # only these rows, pass 3's lanes are this band padded to 128
+    x2lo = int(ctr - ex3) // 8 * 8
+    x2hi = -(-int(ctr + ex3 + 1) // 8) * 8
+    w2p = min(S, int(-(-(x2hi - x2lo) // 128) * 128))
+
     # Mosaic's tpu.dynamic_rotate needs 128-aligned lane dims, so every
     # window a chain operates on is a centered 128-multiple (8-aligned lo).
     def window(need):
@@ -308,10 +315,16 @@ def plan_v2(out_size, canvas: int = None):
         lo = (S - w) // 2 // 8 * 8
         return lo, lo + w
 
-    x2lo, x2hi = window(2 * (ex3 + _MARGIN / 4))   # pass2 rows / pass3 lanes
+    # X1: pass 1's output window — X2 plus enough clean margin that the
+    # chain's circular-wrap contamination (<= MAXD1 lanes at each edge)
+    # stays outside the band pass 2/3 consume
+    x1lo, x1hi = window((x2hi - x2lo) + 2 * (_MAXD1 + 3))
+    if x1lo > x2lo - (_MAXD1 + 1) or x1hi < x2hi + (_MAXD1 + 1):
+        x1lo, x1hi = 0, S
     y2lo, y2hi = window(oh + 2 * (_MAXD2 + 1))     # pass2 lanes / pass3 rows
     return dict(S=S, crop_ylo=crop_ylo, crop_xlo=crop_xlo,
-                x2lo=x2lo, x2hi=x2hi, y2lo=y2lo, y2hi=y2hi, oh=oh, ow=ow)
+                x1lo=x1lo, x1hi=x1hi, x2lo=x2lo, x2hi=x2hi, w2p=w2p,
+                y2lo=y2lo, y2hi=y2hi, oh=oh, ow=ow)
 
 
 def decompose_rotation(inv_mats, out_size, canvas: int = None):
@@ -516,23 +529,28 @@ def warp_rotated_traced2(frames, frame_idx, mats2, phi2, out_size,
     c0 = (warp_axis_aligned_batch(frames, fi, mats2[:, 0], (S, S))
           + warp_axis_aligned_batch(framesT, fi, mats2[:, 1], (S, S)))
     c0 = jnp.transpose(c0, (0, 3, 1, 2))               # (N, C, S, S)
+    x1lo, w1 = p["x1lo"], p["x1hi"] - p["x1lo"]
     x2lo, w2 = p["x2lo"], p["x2hi"] - p["x2lo"]
     y2lo, h2 = p["y2lo"], p["y2hi"] - p["y2lo"]
+    w2p = p["w2p"]
     sh1, sh2, sh3 = _rotation_shifts_v2(
         phi2, S, (0, S), (x2lo, w2), (p["crop_ylo"], oh))
     zf = (phi2 == 0).astype(jnp.int32)
-    # pass 1: x-shear, full canvas (pass 2's y-sources span everything)
-    c1 = _shear_pass_v2(c0, sh1, zf, S_out=S, d_lane=0, maxd=_MAXD1,
-                        in_row_off=0, out_abs_base=0, in_abs_lo=0,
+    # pass 1: x-shear, all rows (pass 2's y-sources span everything),
+    # lane window X1 (X2 + clean wrap margin)
+    c1 = _shear_pass_v2(c0, sh1, zf, S_out=w1, d_lane=x1lo, maxd=_MAXD1,
+                        in_row_off=0, out_abs_base=x1lo, in_abs_lo=0,
                         in_abs_hi=S, interpret=interpret)
-    c1t = jnp.swapaxes(c1, 2, 3)                       # rows = x
+    c1t = jnp.swapaxes(c1, 2, 3)                       # rows = x in X1
     # pass 2: y-shear on the x-band pass 3 reads, lane window Y2
     c2t = _shear_pass_v2(c1t, sh2, zf, S_out=h2, d_lane=y2lo, maxd=_MAXD2,
-                         in_row_off=x2lo, out_abs_base=y2lo,
+                         in_row_off=x2lo - x1lo, out_abs_base=y2lo,
                          in_abs_lo=0, in_abs_hi=S, interpret=interpret)
     c2 = jnp.swapaxes(c2t, 2, 3)                       # rows = y in Y2
-    # pass 3: x-shear on the crop rows only, lanes stay in X2
-    c3 = _shear_pass_v2(c2, sh3, zf, S_out=w2, d_lane=0, maxd=_MAXD1,
+    if w2p > w2:   # pad the x-lanes to 128 alignment for pass 3's rolls
+        c2 = jnp.pad(c2, ((0, 0), (0, 0), (0, 0), (0, w2p - w2)))
+    # pass 3: x-shear on the crop rows only; valid lanes stay the X2 band
+    c3 = _shear_pass_v2(c2, sh3, zf, S_out=w2p, d_lane=0, maxd=_MAXD1,
                         in_row_off=p["crop_ylo"] - y2lo, out_abs_base=x2lo,
                         in_abs_lo=x2lo, in_abs_hi=x2lo + w2,
                         interpret=interpret)
