@@ -166,9 +166,14 @@ class TestRotWarp:
     def test_plan_sizes(self):
         p = plan_v2((256, 192))
         assert p["S"] == 512
-        # windows are 128-multiples (Mosaic dynamic_rotate alignment)
-        assert (p["x2hi"] - p["x2lo"]) % 128 == 0
+        # the lane dims the chain kernels actually operate on are
+        # 128-multiples (Mosaic dynamic_rotate alignment): pass 2's padded
+        # x-band w2p, pass 2's y window, pass 1's x window.  The X2 band
+        # itself is only 8-aligned (pass 3 reads it through the w2p pad).
+        assert p["w2p"] % 128 == 0
         assert (p["y2hi"] - p["y2lo"]) % 128 == 0
+        assert (p["x1hi"] - p["x1lo"]) % 128 == 0
+        assert (p["x2hi"] - p["x2lo"]) % 8 == 0
         assert (p["crop_ylo"] - p["y2lo"]) % 8 == 0
         # bigger crops auto-size a bigger canvas
         assert plan_v2((320, 256))["S"] >= 640

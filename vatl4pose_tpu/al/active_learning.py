@@ -563,17 +563,22 @@ class ActiveLearning:
                 self.query_size = n_un
             unc_full = np.zeros(self.eval_len)
             unc_full[candidate_list] = np.asarray(total_score)
-            if self.uncertainty == "None" or self.cfg.VAL.UNC_LAMBDA == 0:
-                mode = "plain"
-            elif getattr(self.opt, "fixed_lambda", False):
-                mode = "fixed"
-            else:
-                mode = "dynamic"
             return coreset_selection(
                 embeddings, unc_full, self.labeled_id.index, self.query_size,
-                self.unc_lambda, self.moks_queried, mode=mode, rng=self.rng,
+                self.unc_lambda, self.moks_queried,
+                mode=self._coreset_mode(), rng=self.rng,
                 precision="f64" if self.cfg.VAL.get("CORESET_F64") else "f32")
         raise ValueError("Filter type is not supported")
+
+    def _coreset_mode(self):
+        """Coreset scoring mode — shared by _filter and _prewarm_selection
+        so the background prewarm always compiles the program the real
+        select will run (ActiveLearning.py:798-850 branch structure)."""
+        if self.uncertainty == "None" or self.cfg.VAL.UNC_LAMBDA == 0:
+            return "plain"
+        if getattr(self.opt, "fixed_lambda", False):
+            return "fixed"
+        return "dynamic"
 
     def _prewarm_selection(self):
         """Compile the on-device coreset greedy in the background while
@@ -595,18 +600,16 @@ class ActiveLearning:
                         v, x, return_embedding=True),
                     self.variables, jnp.zeros((1, h, w, 3), jnp.float32))
                 dim = int(eshape[1].shape[-1])
-                if self.uncertainty == "None" or self.cfg.VAL.UNC_LAMBDA == 0:
-                    mode = "plain"
-                elif getattr(self.opt, "fixed_lambda", False):
-                    mode = "fixed"
-                else:
-                    mode = "dynamic"
+                mode = self._coreset_mode()
                 emb = np.zeros((self.eval_len, dim), np.float32)
                 unc = np.ones(self.eval_len, np.float32)
-                coreset_selection(emb, unc, list(range(2)),
-                                  min(self.query_size, self.eval_len),
-                                  self.unc_lambda, 0.5, mode=mode,
-                                  rng=np.random.RandomState(0))
+                # round 0 selects with NO labeled samples (have_labeled
+                # =False program), later rounds with some — warm both
+                for labeled in ([], list(range(2))):
+                    coreset_selection(emb, unc, labeled,
+                                      min(self.query_size, self.eval_len),
+                                      self.unc_lambda, 0.5, mode=mode,
+                                      rng=np.random.RandomState(0))
             except Exception:   # never take down the AL loop from a warmup
                 pass
 

@@ -275,7 +275,6 @@ _T22 = float(np.tan(np.pi / 8))     # max |shear slope|, passes 1/3
 _S45 = float(np.sin(np.pi / 4))     # max |shear slope|, pass 2
 _MAXD1 = 5                          # ceil(8*_T22)+1 candidates-1, passes 1/3
 _MAXD2 = 7                          # ceil(8*_S45)+1, pass 2
-_MARGIN = 32                        # window wrap margin (>= MAXD+1, 8-mult)
 
 
 def plan_v2(out_size, canvas: int = None):

@@ -77,11 +77,12 @@ class Retrainer:
         # Under a DP mesh the XLA SPMD partitioner cannot partition the
         # custom pallas rotation kernel over the sharded batch axis — use
         # the gather warp there (CPU test meshes hit this path anyway).
-        # The kernel also requires 8-aligned crop sizes (its windowed
-        # passes tile rows by 8 — kernels/rot_warp.plan_v2); every
-        # reference preset qualifies, other sizes take the gather warp.
+        # The kernel also requires 16-row/8-col aligned crop sizes
+        # (kernels/rot_warp.plan_v2: oh%16 keeps crop_ylo on an 8-row tile
+        # boundary); every reference preset qualifies, other sizes take
+        # the gather warp.
         self.rot_kernel = (jax.default_backend() != "cpu" and mesh is None
-                           and self.input_size[0] % 8 == 0
+                           and self.input_size[0] % 16 == 0
                            and self.input_size[1] % 8 == 0)
         self.mesh = mesh
         self._step = jax.jit(self._train_step)
