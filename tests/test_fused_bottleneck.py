@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vatl4pose_tpu.kernels.fused_bottleneck import (
-    bottleneck_chain_reference, fold_bn, fused_bottleneck_chain)
+    bottleneck_chain_conv, bottleneck_chain_reference, fold_bn,
+    fused_bottleneck_chain)
 from vatl4pose_tpu.models import resnet as resnet_mod
 from vatl4pose_tpu.models.layers import torch_batchnorm
 from vatl4pose_tpu.models.resnet import Bottleneck, ResNet
@@ -103,6 +104,25 @@ class TestChainKernel:
         chained = bottleneck_chain_reference(x, *ws)
         np.testing.assert_allclose(np.asarray(chained), np.asarray(stream),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_conv_form_matches_reference(self):
+        """The fast-compiling conv form (FUSE_IMPL=conv default) is the same
+        contraction with the same f32 accumulation as the einsum form."""
+        N, H, W, C, P, nb = 2, 6, 5, 16, 4, 3
+        x = jnp.asarray(RNG.normal(0, 1, (N, H, W, C)), jnp.float32)
+        ws = _rand_folded(nb, C, P)
+        out = bottleneck_chain_conv(x, *ws)
+        ref = bottleneck_chain_reference(x, *ws)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        xb = x.astype(jnp.bfloat16)
+        wsb = [w.astype(jnp.bfloat16) if w.ndim >= 3 else w for w in ws]
+        outb = bottleneck_chain_conv(xb, *wsb)
+        refb = bottleneck_chain_reference(xb, *wsb)
+        assert outb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(outb, np.float32),
+                                   np.asarray(refb, np.float32),
+                                   rtol=0.05, atol=0.05)
 
     def test_bf16_stream(self):
         N, H, W, C, P, nb = 4, 4, 4, 8, 2, 2

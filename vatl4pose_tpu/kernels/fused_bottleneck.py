@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fold_bn", "fused_bottleneck_chain", "bottleneck_chain_reference"]
+__all__ = ["fold_bn", "fused_bottleneck_chain", "bottleneck_chain_reference",
+           "bottleneck_chain_conv"]
 
 # VMEM budget for picking the per-program batch tile (bytes).  XLA's
 # default scoped-vmem limit is 16 MB, which forces 1-image tiles whose grid
@@ -137,6 +138,34 @@ def fused_bottleneck_chain(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, w1, s1, b1, w2, s2, b2, w3, s3, b3)
+
+
+def bottleneck_chain_conv(x, w1, s1, b1, w2, s2, b2, w3, s3, b3):
+    """The same folded math with the 1x1 matmuls expressed as
+    conv_general_dilated instead of einsum.  Numerically identical layer
+    by layer (same contraction, same f32 accumulation), but it compiles
+    orders of magnitude faster on TPU: the einsum lowers to a
+    reshape(N*H*W, C)->dot->reshape chain whose layout assignment blows up
+    XLA compile time inside lax loop bodies (the r4 bench's fused score
+    loop took ~406 s to compile; this form takes seconds —
+    exp/profile_compile.py)."""
+    nb = w1.shape[0]
+    dn = ("NHWC", "HWIO", "NHWC")
+    for i in range(nb):
+        h = jax.lax.conv_general_dilated(
+            x, w1[i][None, None], (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        h = jnp.maximum(h * s1[i] + b1[i], 0.0).astype(x.dtype)
+        h = jax.lax.conv_general_dilated(
+            h, w2[i], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        h = jnp.maximum(h * s2[i] + b2[i], 0.0).astype(x.dtype)
+        h = jax.lax.conv_general_dilated(
+            h, w3[i][None, None], (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        x = jnp.maximum(h * s3[i] + b3[i] + x.astype(jnp.float32),
+                        0.0).astype(x.dtype)
+    return x
 
 
 def bottleneck_chain_reference(x, w1, s1, b1, w2, s2, b2, w3, s3, b3):

@@ -163,11 +163,14 @@ class _FoldedBottleneck(nn.Module):
 # of the residual stream each — cheap at the deep stages where this bites)
 _FUSE_WEIGHT_LIMIT = 7 * 2 ** 20
 
-# chain implementation: "xla" = folded-BN math through plain XLA (measured
-# faster than the Pallas chain end-to-end on v5e — the early stages' P=64/128
-# channel matmuls underfill the 128x128 MXU, exp/FUSED_BOTTLENECK.md);
-# "pallas" = the VMEM-resident chain kernel (kept for A-Bs and future shapes)
-FUSE_IMPL = "xla"
+# chain implementation: "conv" = folded-BN math with 1x1 convs (same math
+# as "xla", compiles ~100x faster inside lax loop bodies — the einsum form
+# took ~406 s to compile in the r4 bench score loop, exp/profile_compile.py);
+# "xla" = the einsum form (kept for A-Bs); "pallas" = the VMEM-resident
+# chain kernel (measured slower than XLA end-to-end on v5e — the early
+# stages' P=64/128 channel matmuls underfill the MXU, FUSED_BOTTLENECK.md)
+import os as _os
+FUSE_IMPL = _os.environ.get("FUSE_IMPL", "conv")
 
 
 class ResNet(nn.Module):
@@ -228,7 +231,8 @@ class ResNet(nn.Module):
 
     def _fused_tail(self, x, li, p, n_blocks):
         """Blocks 1..n-1 of stage li+1 through the fused chain kernel."""
-        from ..kernels.fused_bottleneck import (bottleneck_chain_reference,
+        from ..kernels.fused_bottleneck import (bottleneck_chain_conv,
+                                                bottleneck_chain_reference,
                                                 chain_weight_bytes,
                                                 fused_bottleneck_chain)
         folded = [_FoldedBottleneck(p * 4, p, name=f"layer{li + 1}_{bi}")()
@@ -240,11 +244,13 @@ class ResNet(nn.Module):
         # shard it); stages whose single-block weights bust VMEM (layer4
         # f32) take the same folded math through plain XLA — as does the
         # default FUSE_IMPL="xla" (see the switch above).
-        run = (bottleneck_chain_reference
-               if (FUSE_IMPL != "pallas"
-                   or jax.default_backend() == "cpu"
-                   or per_block > _FUSE_WEIGHT_LIMIT)
-               else fused_bottleneck_chain)
+        if (FUSE_IMPL == "pallas" and jax.default_backend() != "cpu"
+                and per_block <= _FUSE_WEIGHT_LIMIT):
+            run = fused_bottleneck_chain
+        elif FUSE_IMPL == "xla":
+            run = bottleneck_chain_reference
+        else:
+            run = bottleneck_chain_conv
         for s in range(0, len(folded), group):
             ws = folded[s:s + group]
             stacked = [jnp.stack(col) for col in zip(*ws)]
