@@ -122,8 +122,12 @@ class ScoringEngine:
         else:
             hm = self.model.apply(variables, crops)
             emb = jnp.zeros((crops.shape[0], 1), jnp.float32)
-        # NHWC -> NKHW; scoring numerics always run in f32
-        hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
+        # NHWC -> NKHW in the model's own dtype: under bf16 serving the
+        # (N, K, 64, 48) block stays bf16 — half the HBM write here and half
+        # the read in every stage-2 consumer, which all upcast to f32 at
+        # entry (exact, fused into their first read), so stage-2 arithmetic
+        # is bit-identical to materializing f32 here.
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
         emb = emb.astype(jnp.float32)
         return hm, emb, aux_params
 

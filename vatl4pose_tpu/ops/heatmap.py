@@ -128,8 +128,12 @@ def heatmap_to_coord(hms, bbox_xyxy):
     Parity: transforms.py:550-583 (heatmap_to_coord_simple) — the bbox is
     turned into center=(cx, cy), scale=(w, h) and inverted through
     get_affine_transform(..., [hm_w, hm_h], inv=1).
+
+    Accepts bf16 heatmaps (the bf16 serving path hands the model output
+    through without materializing an f32 copy); all arithmetic here runs in
+    f32 — the upcast is exact and fuses into the first read.
     """
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     H, W = hms.shape[-2], hms.shape[-1]
     coords, maxvals = get_max_pred(hms)
     coords = subpixel_refine(hms, coords)

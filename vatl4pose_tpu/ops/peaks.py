@@ -53,9 +53,10 @@ def localpeak_mean(hms, filter_size: int = 3, order: float = 0.5):
     Parity: local_peak.py:12-22.  Per map: peaks = {p : x[p] == maxfilt(x)[p]},
     kept if x[p] >= max(x) * order (note: max over *peak* values equals the
     global max since the argmax is always a peak).  The mean pools peak values
-    across all K maps of a sample.
+    across all K maps of a sample.  bf16 inputs are upcast to f32 at entry
+    (exact; fuses into the first read).
     """
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     mf = max_filter2d(hms, filter_size, 0.0)
     is_peak = hms == mf
     gmax = jnp.max(hms, axis=(-2, -1), keepdims=True)
@@ -116,7 +117,7 @@ def compute_mpe(hms, min_distance: int = 5, num_peaks: int = 5):
     hms: (..., K, H, W) -> (...,).  Per joint map: softmax over the top-5 peak
     values, Shannon entropy, summed over joints (maps with zero peaks add 0).
     """
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     lead = hms.shape[:-2]
     flat = hms.reshape((-1,) + hms.shape[-2:])
     vals, valid = _peaks_per_joint(flat, min_distance, num_peaks)
@@ -132,7 +133,7 @@ def compute_mpe(hms, min_distance: int = 5, num_peaks: int = 5):
 def compute_margin(hms, min_distance: int = 5, num_peaks: int = 5):
     """Top-2 peak margin (ActiveLearning.py:780-788), batched.
     |peak0 - peak1| summed over joints; maps with <2 peaks add 0."""
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     lead = hms.shape[:-2]
     flat = hms.reshape((-1,) + hms.shape[-2:])
     vals, valid = _peaks_per_joint(flat, min_distance, num_peaks)
@@ -148,7 +149,7 @@ def compute_entropy(hms):
     sum of entr(p) (entr(x<0) = -inf, matching scipy when a heatmap holds
     negative values).  Summed over joints.
     """
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     flat = hms.reshape(hms.shape[:-2] + (-1,))
     p = flat / jnp.sum(flat, axis=-1, keepdims=True)
     entr = jnp.where(p > 0, -p * jnp.log(p),

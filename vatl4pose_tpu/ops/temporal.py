@@ -42,9 +42,10 @@ def thc_scores(hms, is_prev, is_next, norm_type: str = "L1"):
     (sample i's neighbor is sample i∓1 when the flag is set).
     Returns (N,) float32.  Parity: compute_thc (ActiveLearning.py:747-760):
     sum(|H - H_adj|)/K (L1) or sum((H - H_adj)^2)/K (L2), with the
-    single-neighbor doubling rule.
+    single-neighbor doubling rule.  bf16 inputs are upcast to f32 at entry
+    (exact; fuses into the first read) so the sums run in f32.
     """
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     K = hms.shape[1]
     prev_hms = jnp.roll(hms, 1, axis=0)
     next_hms = jnp.roll(hms, -1, axis=0)
@@ -74,7 +75,7 @@ def tpc_scores(hms, coords, bbox_crop_xyxy, is_prev, is_next):
     """
     from .heatmap import heatmap_to_coord
 
-    hms = jnp.asarray(hms)
+    hms = jnp.asarray(hms, jnp.float32)
     coords = jnp.asarray(coords)
     bb = jnp.asarray(bbox_crop_xyxy, jnp.float32)
     thresh = 0.01 * jnp.sqrt((bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1]))

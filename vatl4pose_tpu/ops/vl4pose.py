@@ -69,7 +69,7 @@ def vl4pose_scores(hms, params, links=COCO_LINKS, min_distance: int = 5,
     Returns (N,) uncertainty.
     """
     N, K, H, W = hms.shape
-    flat = hms.reshape(N * K, H, W)
+    flat = jnp.asarray(hms, jnp.float32).reshape(N * K, H, W)
     vals, valid, pys, pxs = jax.vmap(
         lambda h: _topk_peaks_with_loc(h, min_distance, num_peaks))(flat)
     P = num_peaks
