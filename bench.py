@@ -1,9 +1,11 @@
 """Benchmark: AL-cycle throughput on one chip.
 
-Headline (the ONE stdout JSON line): whole-video heatmap inference + scoring
-throughput — the hot path of eval_and_query (ActiveLearning.py:273-429),
-SimplePose-R50 over 256x192 crops in bf16 plus the fused scoring stage
-(decode, OKS, THC shifted-gather, local-peak combine weight).
+Headline (the ONE stdout JSON line, printed as soon as the first
+measurement lands so a later-stage timeout still parses): whole-video heatmap
+inference + scoring throughput — the hot path of eval_and_query
+(ActiveLearning.py:273-429), SimplePose-R50 over 256x192 crops in bf16 plus
+the fused scoring stage (decode, OKS, THC shifted-gather, local-peak
+combine weight).
 
 Timing methodology (IMPORTANT): on the axon-tunnelled TPU,
 `block_until_ready()` does NOT synchronize (measured here: an 8192^3 bf16
@@ -12,9 +14,21 @@ figure below therefore runs K chained iterations inside ONE jitted
 `lax.fori_loop` whose body consumes the carried scalar (preventing CSE and
 loop-hoisting) and whose scalar checksum is `device_get`'d; per-iteration
 time is (t[K_hi] - t[K_lo]) / (K_hi - K_lo), which cancels dispatch and
-transfer overhead.  Validated: the chained 8192^3 bf16 matmul measures
-195.1 TF/s = 99% of the v5e peak (197 TF/s).  Round-1 numbers measured with
-block_until_ready are NOT comparable.
+transfer overhead.  K is a TRACED scalar (dynamic while-loop trip count),
+so ONE compiled program serves both K values — this halves the cold-cache
+compile wall vs the r2-r4 two-program scheme and removes compile variance
+between the two measurements.  Validated: the chained 8192^3 bf16 matmul
+measures 195.1 TF/s = 99% of the v5e peak (197 TF/s).  Round-1 numbers
+measured with block_until_ready are NOT comparable.
+
+Cold-cache behavior (the r4 rc=124 lesson): every measurement prints a
+`[bench] key = value` line as it lands AND rewrites BENCH_DETAIL.json
+incrementally, so a driver timeout still records everything measured so
+far; each chained program's `lower().compile()` wall is itself recorded
+as `compile_s_*`.  The r4 timeout was a single 406-s compile of the
+einsum-form folded-BN chain inside the loop body — fixed by expressing
+the folded tails as 1x1 convs (kernels/fused_bottleneck.py
+bottleneck_chain_conv; exp/profile_compile.py: 406 s -> 13 s).
 
 Also measured and written to BENCH_DETAIL.json:
   - f32 parity-mode throughput,
@@ -48,9 +62,20 @@ BATCH = 512
 ITERS = 8                            # K_hi - K_lo for the chained timing
 RETRAIN_BATCH = 120
 
+_DETAIL = {}
+_T_START = time.perf_counter()
 
-def _flops(compiled):
-    c = compiled.cost_analysis()
+
+def _emit(key, value):
+    """Record one measurement: detail dict + stdout line + incremental
+    BENCH_DETAIL.json rewrite (a driver timeout keeps everything so far)."""
+    _DETAIL[key] = value
+    print(f"[bench] {key} = {value}", flush=True)
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(_DETAIL, f, indent=2)
+
+
+def _cost_flops(c):
     c = c[0] if isinstance(c, (list, tuple)) else c
     try:
         return float(c.get("flops", 0.0))
@@ -58,26 +83,43 @@ def _flops(compiled):
         return 0.0
 
 
-def _bench_chain(make_loop, *args, iters=ITERS):
+def _flops_of(fn, *args):
+    """FLOPs of one program via cost analysis on the LOWERED module when the
+    backend supports it (no backend compile — saves 10-40 s/program cold);
+    falls back to compiling."""
+    import jax
+    lowered = jax.jit(fn).lower(*args)
+    try:
+        fl = _cost_flops(lowered.cost_analysis())
+        if fl > 0:
+            return fl
+    except Exception:
+        pass
+    return _cost_flops(lowered.compile().cost_analysis())
+
+
+def _bench_chain(make_loop, *args, iters=ITERS, name=""):
     """Per-iteration wall time of the K-chained loop (see module docstring).
 
-    Returns (seconds_per_iter, flops_per_iter); flops via the difference of
-    XLA cost analyses of the two loop programs, cancelling setup work."""
+    make_loop() returns a jitted fn (K, *args) -> scalar with K a traced
+    trip count: one compile serves both the K_lo and K_hi timings."""
     import jax
-    lo, hi = make_loop(2), make_loop(2 + iters)
-    c_lo = lo.lower(*args).compile()
-    c_hi = hi.lower(*args).compile()
-    jax.device_get(c_lo(*args))
-    jax.device_get(c_hi(*args))
+    import jax.numpy as jnp
+    loop = make_loop()
     t0 = time.perf_counter()
-    jax.device_get(c_lo(*args))
+    c = loop.lower(jnp.int32(2), *args).compile()
+    if name:
+        _emit(f"compile_s_{name}", round(time.perf_counter() - t0, 1))
+    k_lo, k_hi = jnp.int32(2), jnp.int32(2 + iters)
+    jax.device_get(c(k_lo, *args))
+    jax.device_get(c(k_hi, *args))
+    t0 = time.perf_counter()
+    jax.device_get(c(k_lo, *args))
     d_lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.device_get(c_hi(*args))
+    jax.device_get(c(k_hi, *args))
     d_hi = time.perf_counter() - t0
-    dt = (d_hi - d_lo) / iters
-    fl = max(0.0, (_flops(c_hi) - _flops(c_lo)) / iters)
-    return dt, fl
+    return (d_hi - d_lo) / iters
 
 
 def main():
@@ -93,7 +135,6 @@ def main():
     from vatl4pose_tpu.train.optim import (build_optimizer, init_state,
                                            lr_multiplier_tree)
 
-    detail = {}
     model = SimplePose(num_joints=17, num_layers=50, train=False)
     # bf16 serving model: folded-BN stage tails (same param tree; measured
     # 54.0 -> 51.9 ms forward @512 on v5e — exp/FUSED_BOTTLENECK.md).  The
@@ -125,63 +166,66 @@ def main():
                          jnp.float32)
     ones = jnp.asarray(np.ones(BATCH, bool))
 
-    def make_score_loop(K, bf16=True):
+    def score_body(variables, fr, bf16):
+        # mirrors ScoringEngine._forward_chunk: single-pass MXU warp under
+        # bf16 serving, 3-pass in f32 parity mode
+        crops, bbox_crop = crop_batch(
+            fr, frame_idx, raw_bbox, (256, 192),
+            precision=jax.lax.Precision.DEFAULT if bf16 else None)
+        hm = (model_fused if bf16 else model).apply(
+            variables, crops.astype(jnp.bfloat16) if bf16 else crops)
+        # stays bf16 under serving: stage-2 consumers upcast at entry
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        coords, scores = heatmap_to_coord(hm, bbox_crop)
+        kpts = jnp.concatenate([coords, scores[..., None]],
+                               -1).reshape(BATCH, -1)
+        oks = compute_oks(kpts, gt, bb_ann)
+        thc = thc_scores(hm, ones, ones)
+        gc = localpeak_mean(hm)
+        return oks.sum() + thc.sum() + gc.sum() + coords.mean()
+
+    def make_score_loop(bf16=True):
         @jax.jit
-        def loop(variables, frames):
+        def loop(K, variables, frames):
             def body(i, acc):
                 # the carried scalar feeds the input: serializes iterations
                 fr = frames * (1 + acc * 1e-20)
-                # mirrors ScoringEngine._forward_chunk: single-pass MXU
-                # warp under bf16 serving, 3-pass in f32 parity mode
-                crops, bbox_crop = crop_batch(
-                    fr, frame_idx, raw_bbox, (256, 192),
-                    precision=jax.lax.Precision.DEFAULT if bf16 else None)
-                hm = (model_fused if bf16 else model).apply(
-                    variables,
-                    crops.astype(jnp.bfloat16) if bf16 else crops)
-                hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
-                coords, scores = heatmap_to_coord(hm, bbox_crop)
-                kpts = jnp.concatenate([coords, scores[..., None]],
-                                       -1).reshape(BATCH, -1)
-                oks = compute_oks(kpts, gt, bb_ann)
-                thc = thc_scores(hm, ones, ones)
-                gc = localpeak_mean(hm)
-                return acc + (oks.sum() + thc.sum() + gc.sum()
-                              + coords.mean())
+                return acc + score_body(variables, fr, bf16)
             return lax.fori_loop(0, K, body, jnp.float32(0))
         return loop
 
     # bf16 serving path (warp/decode/scoring stay f32)
-    dt_bf16, fl_step = _bench_chain(make_score_loop, var_bf16, frames)
+    dt_bf16 = _bench_chain(make_score_loop, var_bf16, frames,
+                           name="score_bf16")
     fps = BATCH / dt_bf16
-    detail["score_bf16_samples_per_s"] = round(fps, 1)
+    _emit("score_bf16_samples_per_s", round(fps, 1))
+    # the ONE stdout JSON line, printed as soon as the headline lands (NOT
+    # last): if the tunnel stalls a later program's compile past the driver
+    # budget, the round still records a parseable headline (r4 lesson)
+    print(json.dumps({
+        "metric": "frames/sec/chip (crop+inference+scoring)",
+        "value": round(fps, 1),
+        "unit": "samples/s",
+        # estimate-derived (measured fps / 700 samples/s A100 engineering
+        # ESTIMATE — the reference publishes no numbers, BASELINE.md);
+        # vs_baseline_measured is the grounded anchor: same-host CPU A/B
+        # against the actual reference code (exp/host_ab_bench.py)
+        "vs_baseline": round(fps / REF_A100_SAMPLES_PER_S, 2),
+        "vs_baseline_measured": SAME_HOST_AB_SPEEDUP,
+    }), flush=True)
+
+    # MFU: cost ONE unchained step (lowered-module analysis where supported)
+    fl_step = _flops_of(
+        lambda v, fr: score_body(v, fr, True), var_bf16, frames)
+    if fl_step > 0:
+        _emit("score_step_tflops", round(fl_step / 1e12, 2))
+        _emit("score_bf16_mfu_vs_v5e_peak",
+              round(fl_step / dt_bf16 / V5E_BF16_PEAK_FLOPS, 3))
 
     # f32 parity mode
-    dt_f32, _ = _bench_chain(lambda K: make_score_loop(K, False),
-                             variables, frames)
-    detail["score_f32_samples_per_s"] = round(BATCH / dt_f32, 1)
-
-    if fl_step <= 0:
-        # XLA's cost analysis doesn't always attribute while-loop body flops
-        # by trip count — fall back to costing one unchained step
-        def one_step(variables, frames):
-            crops, bbox_crop = crop_batch(frames, frame_idx, raw_bbox,
-                                          (256, 192))
-            hm = model_fused.apply(variables, crops.astype(jnp.bfloat16))
-            hm = jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
-            coords, scores = heatmap_to_coord(hm, bbox_crop)
-            kpts = jnp.concatenate([coords, scores[..., None]],
-                                   -1).reshape(BATCH, -1)
-            oks = compute_oks(kpts, gt, bb_ann)
-            thc = thc_scores(hm, ones, ones)
-            gc = localpeak_mean(hm)
-            return coords, oks, thc, gc
-        fl_step = _flops(jax.jit(one_step).lower(
-            var_bf16, frames).compile())
-    if fl_step > 0:
-        detail["score_step_tflops"] = round(fl_step / 1e12, 2)
-        detail["score_bf16_mfu_vs_v5e_peak"] = round(
-            fl_step / dt_bf16 / V5E_BF16_PEAK_FLOPS, 3)
+    dt_f32 = _bench_chain(lambda: make_score_loop(False), variables, frames,
+                          name="score_f32")
+    _emit("score_f32_samples_per_s", round(BATCH / dt_f32, 1))
 
     # retrain step: fwd+bwd+per-group AdamW at the production batch size;
     # the param/opt-state carry serializes iterations by construction
@@ -221,9 +265,9 @@ def main():
                                         jnp.asarray(2.5e-4), mults)
         return {"params": new_params, **new_state}, new_opt, loss
 
-    def make_train_loop(K, bf16=False):
+    def make_train_loop(bf16=False):
         @jax.jit
-        def loop(variables, opt_state, x):
+        def loop(K, variables, opt_state, x):
             def body(i, carry):
                 v, o, acc = carry
                 v, o, loss = train_step(v, o, x, bf16)
@@ -232,38 +276,30 @@ def main():
                                  (variables, opt_state, jnp.float32(0)))[2]
         return loop
 
-    def _train_step_flops(bf16):
-        # cost-analysis fallback shared by both precisions: while-loop body
-        # flops are not always attributed by trip count, so cost ONE
-        # unchained fwd+bwd step program
-        return _flops(jax.jit(
-            lambda v, o, x: train_step(v, o, x, bf16)).lower(
-                variables, opt_state, xr).compile())
-
-    dt_tr, fl_tr = _bench_chain(make_train_loop, variables, opt_state, xr,
-                                iters=4)
-    detail["retrain_samples_per_s"] = round(RETRAIN_BATCH / dt_tr, 1)
-    detail["retrain_step_ms"] = round(dt_tr * 1e3, 1)
-    if fl_tr <= 0:
-        fl_tr = _train_step_flops(False)
+    dt_tr = _bench_chain(make_train_loop, variables, opt_state, xr,
+                         iters=4, name="retrain_f32")
+    _emit("retrain_samples_per_s", round(RETRAIN_BATCH / dt_tr, 1))
+    _emit("retrain_step_ms", round(dt_tr * 1e3, 1))
+    fl_tr = _flops_of(lambda v, o, x: train_step(v, o, x, False),
+                      variables, opt_state, xr)
     if fl_tr > 0:
-        detail["retrain_step_tflops"] = round(fl_tr / 1e12, 2)
+        _emit("retrain_step_tflops", round(fl_tr / 1e12, 2))
         # f32-precision step timed against the bf16 MXU peak (on v5e, f32
         # convs at default precision execute as bf16 multiplies with f32
         # accumulation, so one peak serves both dtypes — FORWARD_PROFILE.md)
-        detail["retrain_f32_mfu_vs_v5e_bf16_peak"] = round(
-            fl_tr / dt_tr / V5E_BF16_PEAK_FLOPS, 3)
+        _emit("retrain_f32_mfu_vs_v5e_bf16_peak",
+              round(fl_tr / dt_tr / V5E_BF16_PEAK_FLOPS, 3))
 
     # mixed-precision retrain (RETRAIN.BF16 / --speedup in the AL loop)
-    dt_trb, fl_trb = _bench_chain(lambda K: make_train_loop(K, True),
-                                  variables, opt_state, xr, iters=4)
-    detail["retrain_bf16_samples_per_s"] = round(RETRAIN_BATCH / dt_trb, 1)
-    detail["retrain_bf16_step_ms"] = round(dt_trb * 1e3, 1)
-    if fl_trb <= 0:
-        fl_trb = _train_step_flops(True)
+    dt_trb = _bench_chain(lambda: make_train_loop(True), variables,
+                          opt_state, xr, iters=4, name="retrain_bf16")
+    _emit("retrain_bf16_samples_per_s", round(RETRAIN_BATCH / dt_trb, 1))
+    _emit("retrain_bf16_step_ms", round(dt_trb * 1e3, 1))
+    fl_trb = _flops_of(lambda v, o, x: train_step(v, o, x, True),
+                       variables, opt_state, xr)
     if fl_trb > 0:
-        detail["retrain_bf16_mfu_vs_v5e_peak"] = round(
-            fl_trb / dt_trb / V5E_BF16_PEAK_FLOPS, 3)
+        _emit("retrain_bf16_mfu_vs_v5e_peak",
+              round(fl_trb / dt_trb / V5E_BF16_PEAK_FLOPS, 3))
 
     # REAL retrain wall (what the AL loop pays): Retrainer.retrain over the
     # scan-chunked path — device warp (rotation kernel), gaussian targets,
@@ -292,15 +328,16 @@ def main():
                                 jnp.zeros((1, 256, 192, 3)))["batch_stats"])}
     tr_opt = init_state(tr_vars["params"])
     idx = np.arange(n_samp)
+    t0 = time.perf_counter()
     tr_vars, tr_opt, _, _ = tr.retrain(tr_vars, tr_opt, d, frames, idx, 8,
                                        (320, 240))          # compile warm-up
+    _emit("compile_s_retrain_wall", round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     tr_vars, tr_opt, _, _ = tr.retrain(tr_vars, tr_opt, d, frames, idx, 8,
                                        (320, 240))
     dt_full = time.perf_counter() - t0
-    detail["retrain_wall_16steps_s"] = round(dt_full, 2)
-    detail["retrain_wall_samples_per_s"] = round(
-        16 * RETRAIN_BATCH / dt_full, 1)
+    _emit("retrain_wall_16steps_s", round(dt_full, 2))
+    _emit("retrain_wall_samples_per_s", round(16 * RETRAIN_BATCH / dt_full, 1))
 
     # full-cycle estimate at production shape: score a 512-sample video +
     # one coreset selection + one retrain epoch over 120 samples.
@@ -311,38 +348,26 @@ def main():
     unc = rng.uniform(size=BATCH).astype(np.float32)
     t0 = time.perf_counter()
     coreset_selection(emb, unc, list(range(24)), 26, 0.01, 0.5)
-    detail["coreset_select_s_cold"] = round(time.perf_counter() - t0, 3)
+    _emit("coreset_select_s_cold", round(time.perf_counter() - t0, 3))
     t0 = time.perf_counter()
     coreset_selection(emb, unc, list(range(50)), 26, 0.01, 0.55)
-    detail["coreset_select_s_warm"] = round(time.perf_counter() - t0, 3)
-    detail["full_cycle_s_512_samples"] = round(
-        dt_bf16 + detail["coreset_select_s_warm"] + dt_tr, 3)
+    _emit("coreset_select_s_warm", round(time.perf_counter() - t0, 3))
+    _emit("full_cycle_s_512_samples",
+          round(dt_bf16 + _DETAIL["coreset_select_s_warm"] + dt_tr, 3))
 
-    detail["timing_methodology"] = (
-        "chained lax.fori_loop + scalar-checksum device_get "
-        "(block_until_ready does not sync through the axon tunnel; "
-        "method validated at 99% of v5e peak on an 8192^3 bf16 matmul)")
-    detail["same_host_cpu_ab_speedup_measured"] = SAME_HOST_AB_SPEEDUP
-    detail["ref_anchor"] = {
+    _emit("timing_methodology",
+          "chained lax.fori_loop (traced trip count: one program per "
+          "measurement) + scalar-checksum device_get (block_until_ready "
+          "does not sync through the axon tunnel; method validated at 99% "
+          "of v5e peak on an 8192^3 bf16 matmul)")
+    _emit("same_host_cpu_ab_speedup_measured", SAME_HOST_AB_SPEEDUP)
+    _emit("ref_anchor", {
         "a100_estimate_samples_per_s": REF_A100_SAMPLES_PER_S,
         "provenance": "engineering estimate (see bench.py docstring); "
                       "measured anchor = same-host CPU A/B vs the actual "
                       "reference code: 1.77 vs 0.53 s/sample (3.32x)",
-    }
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(detail, f, indent=2)
-
-    print(json.dumps({
-        "metric": "frames/sec/chip (crop+inference+scoring)",
-        "value": round(fps, 1),
-        "unit": "samples/s",
-        # estimate-derived (measured fps / 700 samples/s A100 engineering
-        # ESTIMATE — the reference publishes no numbers, BASELINE.md);
-        # vs_baseline_measured is the grounded anchor: same-host CPU A/B
-        # against the actual reference code (exp/host_ab_bench.py)
-        "vs_baseline": round(fps / REF_A100_SAMPLES_PER_S, 2),
-        "vs_baseline_measured": SAME_HOST_AB_SPEEDUP,
-    }))
+    })
+    _emit("bench_total_wall_s", round(time.perf_counter() - _T_START, 1))
 
 
 def zoo():
@@ -371,9 +396,9 @@ def zoo():
                                   else a.dtype), shapes)
         x = jnp.asarray(rng.normal(0, 1, (BATCH, 256, 192, 3)), jnp.bfloat16)
 
-        def make_loop(K, model=model):
+        def make_loop(model=model):
             @jax.jit
-            def loop(v, x):
+            def loop(K, v, x):
                 def body(i, acc):
                     xi = x * (1 + acc * 1e-20).astype(x.dtype)
                     hm = model.apply(v, xi)
@@ -381,7 +406,8 @@ def zoo():
                 return lax.fori_loop(0, K, body, jnp.float32(0))
             return loop
 
-        dt, fl = _bench_chain(make_loop, var, x)
+        dt = _bench_chain(make_loop, var, x)
+        fl = _flops_of(lambda v, x, model=model: model.apply(v, x), var, x)
         out[name] = {"samples_per_s": round(BATCH / dt, 1),
                      "step_ms": round(dt * 1e3, 1)}
         if fl > 0:
