@@ -122,6 +122,26 @@ def _bench_chain(make_loop, *args, iters=ITERS, name=""):
     return (d_hi - d_lo) / iters
 
 
+def _bench_chain_static(make_loop, *args, iters=ITERS):
+    """Legacy two-program chained timing kept for the exp/ profilers:
+    make_loop(K) returns a jitted fn(*args) -> scalar with K baked in as a
+    static trip count.  Returns (seconds_per_iter, 0.0) — the profilers
+    ignore the FLOPs slot.  New code should use _bench_chain (one program,
+    traced K)."""
+    import jax
+    lo = make_loop(2).lower(*args).compile()
+    hi = make_loop(2 + iters).lower(*args).compile()
+    jax.device_get(lo(*args))
+    jax.device_get(hi(*args))
+    t0 = time.perf_counter()
+    jax.device_get(lo(*args))
+    d_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(hi(*args))
+    d_hi = time.perf_counter() - t0
+    return (d_hi - d_lo) / iters, 0.0
+
+
 def main():
     import jax
     from vatl4pose_tpu.utils.runtime import setup_jax_cache

@@ -23,7 +23,7 @@ from jax import lax
 sys.path.insert(0, ".")
 from vatl4pose_tpu.utils.runtime import setup_jax_cache  # noqa: E402
 setup_jax_cache()
-from bench import _bench_chain  # noqa: E402  (chained-loop timing)
+from bench import _bench_chain_static as _bench_chain  # noqa: E402  (chained-loop timing)
 from vatl4pose_tpu.kernels.fused_bottleneck import (  # noqa: E402
     bottleneck_chain_reference, fused_bottleneck_chain)
 

@@ -17,7 +17,7 @@ from jax import lax
 sys.path.insert(0, ".")
 from vatl4pose_tpu.utils.runtime import setup_jax_cache  # noqa: E402
 setup_jax_cache()
-from bench import _bench_chain  # noqa: E402
+from bench import _bench_chain_static as _bench_chain  # noqa: E402
 from vatl4pose_tpu.models import SimplePose  # noqa: E402
 from vatl4pose_tpu.models import resnet as resnet_mod  # noqa: E402
 

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, ".")
 from vatl4pose_tpu.utils.runtime import setup_jax_cache  # noqa: E402
 setup_jax_cache()
-from bench import _bench_chain  # noqa: E402
+from bench import _bench_chain_static as _bench_chain  # noqa: E402
 from vatl4pose_tpu.kernels import rot_warp  # noqa: E402
 
 BATCH = 120
