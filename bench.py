@@ -106,6 +106,10 @@ def _bench_chain(make_loop, *args, iters=ITERS, name=""):
     import jax
     import jax.numpy as jnp
     loop = make_loop()
+    if name:
+        # marks WHERE a driver-budget timeout struck (compile walls through
+        # the tunnelled TPU can stall arbitrarily when the tunnel drops)
+        print(f"[bench] compiling {name} ...", flush=True)
     t0 = time.perf_counter()
     c = loop.lower(jnp.int32(2), *args).compile()
     if name:
