@@ -2,7 +2,9 @@
 exact Flax graph vs fused_eval (folded-BN stage tails) with the chain run
 through plain XLA vs the Pallas kernel.  Chained-fori timing (bench.py).
 
-Usage: python exp/profile_fused_e2e.py [impl ...]   (impl in exact|xla|pallas)
+Usage: python exp/profile_fused_e2e.py [impl ...]
+  impl in exact|xla|conv|pallas (xla = einsum folded form, conv = 1x1-conv
+  folded form — same math, different lowering/compile behavior)
 """
 
 import json
@@ -52,7 +54,7 @@ def main():
         return mk
 
     for name in which:
-        resnet_mod.FUSE_IMPL = "pallas" if name == "pallas" else "xla"
+        resnet_mod.FUSE_IMPL = name if name != "exact" else "xla"
         model = exact if name == "exact" else fused
         dt, _ = _bench_chain(make(model), var, x, iters=8)
         print(json.dumps({"impl": name, "batch": BATCH,
