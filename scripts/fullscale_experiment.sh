@@ -24,7 +24,7 @@ SEED=777                  # video seed != pretraining seeds => unseen video
 
 python -m vatl4pose_tpu.cli.posetrack_train \
   --cfg exp/pretrain_multi.yaml --synthetic --synth_videos 10 \
-  --exp-id pretrain_multi
+  --exp-id pretrain_multi --work_dir exp/pretrain_multi
 
 for MODE in "" "--speedup"; do
   MEMO=fullscale_r2$(if [ -n "$MODE" ]; then echo _bf16; fi)

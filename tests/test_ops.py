@@ -4,6 +4,7 @@ reference math."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vatl4pose_tpu import ops
@@ -317,6 +318,28 @@ class TestWarp:
                             2 * 120 * 160 * 3 * 4)
         chunked = np.asarray(ops.warp_axis_aligned_batch(*args))
         np.testing.assert_array_equal(chunked, full)
+
+    def test_bf16_serving_warp_close_to_f32(self):
+        """Precision.DEFAULT routes the warp through bf16 storage (the bf16
+        serving path, ops/warp.py) — crops must come back bf16 and within
+        bf16 quantization of the f32 reference path on normalized units."""
+        frames = RNG.uniform(0, 255, size=(4, 120, 160, 3)).astype(np.float32)
+        boxes = np.stack([RNG.uniform(0, 60, 6), RNG.uniform(0, 50, 6),
+                          RNG.uniform(80, 150, 6), RNG.uniform(70, 110, 6)],
+                         1).astype(np.float32)
+        fidx = RNG.integers(0, 4, 6)
+        ref_crops, bb_f32 = ops.crop_batch(jnp.asarray(frames), fidx, boxes,
+                                           (64, 48))
+        got, bb = ops.crop_batch(jnp.asarray(frames), fidx, boxes, (64, 48),
+                                 precision=jax.lax.Precision.DEFAULT)
+        assert got.dtype == jnp.bfloat16
+        # normalized crops live in [-0.5, 0.6]; bf16 eps there is ~4e-3 and
+        # the 2-tap x 2-axis combination at bf16 stays within a few ulps
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(ref_crops))
+        assert err.max() < 2e-2, err.max()
+        assert err.mean() < 3e-3, err.mean()
+        # crop-box geometry is host/f32 — unchanged by the serving dtype
+        np.testing.assert_array_equal(np.asarray(bb), np.asarray(bb_f32))
 
     def test_crop_batch_shapes_and_bbox(self):
         frames = RNG.uniform(0, 255, size=(3, 120, 160, 3)).astype(np.float32)

@@ -56,12 +56,17 @@ def localpeak_mean(hms, filter_size: int = 3, order: float = 0.5):
     across all K maps of a sample.  bf16 inputs are upcast to f32 at entry
     (exact; fuses into the first read).
     """
-    hms = jnp.asarray(hms, jnp.float32)
+    hms = jnp.asarray(hms)
+    # the 3x3 max filter + peak-equality run in the INPUT dtype: max and ==
+    # commute with the (injective, exact) bf16->f32 upcast, so the keep mask
+    # is bit-identical to upcasting first while the reduce_window — the HBM
+    # hot spot of this op — moves half the bytes under bf16 serving
     mf = max_filter2d(hms, filter_size, 0.0)
     is_peak = hms == mf
-    gmax = jnp.max(hms, axis=(-2, -1), keepdims=True)
-    keep = is_peak & (hms >= gmax * order)
-    s = jnp.sum(jnp.where(keep, hms, 0.0), axis=(-3, -2, -1))
+    hf = hms.astype(jnp.float32)
+    gmax = jnp.max(hf, axis=(-2, -1), keepdims=True)
+    keep = is_peak & (hf >= gmax * order)
+    s = jnp.sum(jnp.where(keep, hf, 0.0), axis=(-3, -2, -1))
     c = jnp.sum(keep, axis=(-3, -2, -1))
     return s / jnp.maximum(c, 1)
 

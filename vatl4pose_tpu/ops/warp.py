@@ -110,6 +110,19 @@ def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size,
         # emulation) costs 2x the MXU passes for no observable benefit
         # (measured: exp/profile_warp_precision.py).
         precision = jax.lax.Precision.HIGH
+    elif precision is jax.lax.Precision.DEFAULT:
+        # bf16 SERVING warp: the warp is HBM-bound, not MXU-bound — at
+        # batch 512 the gathered frames + separable intermediate + crop
+        # output move ~2.5 GB f32.  Under bf16 serving the crops are
+        # quantized to bf16 at the model input anyway, so storing the
+        # gather/intermediate/output in bf16 loses nothing downstream
+        # (~1 LSB of the model's own input quantization) and halves the
+        # warp's HBM traffic (measured ~1.5 ms/batch on v5e —
+        # exp/profile_extras_bf16.py).  Parity/f32 callers never pass
+        # DEFAULT (al/scoring.py:92).
+        frames = frames.astype(jnp.bfloat16)
+        wy = wy.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
 
     def warp_chunk(fi_c, wx_c, wy_c):
         imgs = frames[fi_c]                # (n, H, W, C) contiguous gather
@@ -121,7 +134,7 @@ def warp_axis_aligned_batch(frames, frame_idx, inv_mats, out_size,
     # via lax.map so peak extra memory stays ~_WARP_BUDGET_BYTES; shapes are
     # static so the split is trace-time only.
     N = fi.shape[0]
-    bytes_per_img = H * W * frames.shape[3] * 4
+    bytes_per_img = H * W * frames.shape[3] * frames.dtype.itemsize
     chunk = max(1, _WARP_BUDGET_BYTES // max(1, bytes_per_img))
     if N <= chunk:
         return warp_chunk(fi, wx, wy)
@@ -163,5 +176,7 @@ def crop_batch(frames, frame_idx, bboxes_xyxy, input_size, aspect_ratio=None,
     crops = warp_axis_aligned_batch(frames, jnp.asarray(frame_idx), inv_mats,
                                     (inp_h, inp_w), precision=precision)
     if normalize:
-        crops = crops / 255.0 - jnp.asarray(RGB_MEAN)
+        # same-dtype mean keeps bf16 serving crops bf16 (the /255−mean
+        # fuses into the warp's second einsum epilogue — free in HBM terms)
+        crops = crops / 255.0 - jnp.asarray(RGB_MEAN, crops.dtype)
     return crops, bbox_crop
