@@ -21,9 +21,12 @@ STAMP() { date +%H:%M:%S; }
 
 if [ ! -f exp/pretrain_multi/model_best.pkl ]; then
   echo "[$(STAMP)] pretraining SimplePose-R50 on the 10-video fixture..."
+  # 60 epochs: validate AP saturates (>=0.999) by epoch ~51 on this fixture
+  # (exp/pretrain_multi.log) — the full 120 doubles the wall for nothing
   python -m vatl4pose_tpu.cli.posetrack_train \
     --cfg exp/pretrain_multi.yaml --synthetic --synth_videos 10 \
-    --exp-id pretrain_multi --work_dir exp/pretrain_multi
+    --exp-id pretrain_multi --work_dir exp/pretrain_multi \
+    --epochs_override 60
 fi
 
 PAIRCACHE=$(mktemp -d /tmp/paircache.XXXX)
