@@ -70,18 +70,25 @@ class Retrainer:
         self.epoch_counter = 0  # survives rounds in continual mode
         self.rng = np.random.default_rng(seed)
         self._warmed = False
-        # TPU: gather-free rotation warp (kernels/rot_warp — shear passes
-        # via pltpu.roll; the general bilinear gather costs ~3 ms/crop on
-        # v5e).  CPU (tests/parity harness): XLA gather is fine and avoids
-        # pallas interpret mode.
-        # Under a DP mesh the XLA SPMD partitioner cannot partition the
-        # custom pallas rotation kernel over the sharded batch axis — use
-        # the gather warp there (CPU test meshes hit this path anyway).
-        # The kernel also requires 16-row/8-col aligned crop sizes
-        # (kernels/rot_warp.plan_v2: oh%16 keeps crop_ylo on an 8-row tile
-        # boundary); every reference preset qualifies, other sizes take
-        # the gather warp.
-        self.rot_kernel = (jax.default_backend() != "cpu" and mesh is None
+        # Rotation warp path.  The Pallas shear kernels (kernels/rot_warp)
+        # are DISABLED by default after a real-chip A/B (2026-08-21,
+        # exp/ROT_KERNEL_HW.md): both v1 and v2 reproduce the gather warp
+        # exactly in interpret mode (the only mode the CPU-pinned test
+        # suite can run) and for rot==0 samples on hardware, but on the
+        # actual v5e the compiled Mosaic path corrupts ROTATED samples
+        # (max err 142/255, mean 8-19/255 per rotated crop; direction
+        # verified correct — the corruption is band placement, not a roll
+        # sign).  Until the kernel is revalidated on hardware, training
+        # correctness wins over the 3.4x warp speedup:
+        # VATL4POSE_ROT_KERNEL=1 re-enables it explicitly (experimental).
+        # Under a DP mesh the SPMD partitioner cannot partition the custom
+        # kernel over the sharded batch axis; CPU always uses the gather
+        # warp; the kernel additionally needs 16/8-aligned crop sizes
+        # (kernels/rot_warp.plan_v2).
+        import os as _os
+        self.rot_kernel = (_os.environ.get("VATL4POSE_ROT_KERNEL") == "1"
+                           and jax.default_backend() != "cpu"
+                           and mesh is None
                            and self.input_size[0] % 16 == 0
                            and self.input_size[1] % 8 == 0)
         self.mesh = mesh
